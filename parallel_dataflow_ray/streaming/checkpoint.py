@@ -1,0 +1,73 @@
+"""Per-partition checkpoints: (operator state, watermark frontier, offsets).
+
+north_star: "Per-partition checkpoints capture operator state, watermark
+frontier, and input offsets so a killed job resumes and still emits
+exactly the rows the reference produces for the same input stream and
+watermark."
+
+Layout::
+
+    <root>/p{partition:05d}/e{epoch:06d}.ckpt    pickled operator snapshot
+    <root>/p{partition:05d}/LATEST               epoch number (atomic rename)
+
+A checkpoint for epoch ``e`` is taken only AFTER the sink committed
+epoch ``e`` (write-ahead output, state-behind).  On resume the engine
+restores every partition at ``resume_epoch = min_p(latest(p))`` and
+replays epochs ``> resume_epoch``; replayed emissions for epochs some
+partitions already committed are absorbed by the sink's idempotent
+commit.  Replay produces identical emissions because operator update /
+merge are deterministic functions of (restored state, epoch rows,
+watermark schedule) — the same argument that makes the reference's
+result independent of worklist order (``blog/blog.md:91-103``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class CheckpointStore:
+    def __init__(self, root: str, partition: int):
+        self.dir = os.path.join(root, f"p{partition:05d}")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def save(self, epoch: int, op_snapshot: bytes, watermark: int,
+             max_offset: int) -> None:
+        payload = pickle.dumps(
+            {"epoch": epoch, "op": op_snapshot, "watermark": watermark,
+             "max_offset": max_offset}, protocol=pickle.HIGHEST_PROTOCOL)
+        _atomic_write(os.path.join(self.dir, f"e{epoch:06d}.ckpt"), payload)
+        _atomic_write(os.path.join(self.dir, "LATEST"), str(epoch).encode())
+
+    def latest_epoch(self) -> int | None:
+        p = os.path.join(self.dir, "LATEST")
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return int(f.read())
+
+    def load(self, epoch: int) -> dict:
+        with open(os.path.join(self.dir, f"e{epoch:06d}.ckpt"), "rb") as f:
+            return pickle.loads(f.read())
+
+    @staticmethod
+    def resume_epoch(root: str, num_partitions: int) -> int | None:
+        """Highest epoch checkpointed by ALL partitions, else None."""
+        latest = []
+        for p in range(num_partitions):
+            store = CheckpointStore(root, p)
+            e = store.latest_epoch()
+            if e is None:
+                return None
+            latest.append(e)
+        return min(latest)

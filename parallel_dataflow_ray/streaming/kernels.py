@@ -1,0 +1,259 @@
+"""Conformance kernels K1-K4 + practical aggregate specs.
+
+The four reference passes (``passes/src/*.rs``) span four distinct
+merge semantics; each graft kernel reproduces the lattice shape over
+the clips stream (SURVEY.md §2.3):
+
+- K1 ``ReachingDefs`` (∪ with gen/kill, ``passes/src/reaching_defs.rs``)
+  -> ``ActiveVersions``: per-speaker set of (clip_id -> newest offset);
+  a re-issued clip_id *kills* older provenance entries.
+- K2 ``LiveVars`` (backward order, ``passes/src/live_vars.rs:11-13``)
+  -> ``ReverseLiveWords``: fold transcript rows in DESCENDING event
+  time (buffered, watermark-gated — only computable on a closed window).
+- K3 ``ConstProp`` (pointwise map, conflict -> ⊤,
+  ``passes/src/const_prop.rs:29-45``) -> ``MetaConstants``: per-speaker
+  (field -> constant value) map; disagreeing values collapse to TOP.
+- K4 ``AvailableExpr`` (∩ with explicit ⊤ init,
+  ``passes/src/available_expr.rs:104-117``) -> ``CommonWords``:
+  intersection of transcript word sets — a "must" aggregate whose
+  result is only correct once ALL window rows arrived; the sharpest
+  detector of broken watermark gating under out-of-order delivery.
+
+Plus engine workhorses: ``ClipStats`` (vectorizable numeric aggregate)
+and ``AudioEnergy`` (decodes audio bytes per window — the flagship
+pipeline's compute stage).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..functions.audio import decode_clip
+from .spec import TOP, StreamOpSpec
+
+
+def _fmt_window(w: tuple) -> dict:
+    return {"window_start": int(w[0]), "window_end": int(w[1])}
+
+
+class ActiveVersions(StreamOpSpec):
+    """K1: union-set with kill — state = {clip_id: max offset}."""
+
+    name = "active_versions"
+    key_column = "speaker_id"
+    value_columns = ("clip_id",)
+
+    def initial_state(self) -> dict:
+        return {}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        out = dict(a)
+        for k, v in b.items():
+            if k not in out or v > out[k]:
+                out[k] = v
+        return out
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        for r in rows:
+            cid, off = r["clip_id"], r["offset"]
+            if cid not in state or off > state[cid]:
+                state[cid] = off
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        versions = sorted(state.items())
+        return {"key": key, **_fmt_window(window),
+                "n_active": len(versions),
+                "versions": ";".join(f"{c}@{o}" for c, o in versions)}
+
+
+class ReverseLiveWords(StreamOpSpec):
+    """K2: backward fold. Treat a transcript's first word as the "dest"
+    and the rest as "args" (the LiveVars transfer shape,
+    ``passes/src/live_vars.rs:24-42``): scanning rows in reverse event
+    order, live = (live - {dest}) ∪ args."""
+
+    name = "reverse_live_words"
+    order = "reverse"
+    incremental = False
+    key_column = "speaker_id"
+    value_columns = ("transcript",)
+
+    def initial_state(self) -> set:
+        return set()
+
+    def merge(self, a: set, b: set) -> set:
+        return a | b
+
+    def update(self, state: set, rows: list[dict]) -> set:
+        live = set(state)
+        for r in rows:  # rows arrive already sorted descending by event_ts
+            words = (r["transcript"] or "").split()
+            if not words:
+                continue
+            dest, args = words[0], words[1:]
+            live.discard(dest)
+            live.update(args)
+        return live
+
+    def finish(self, key, window, state) -> dict:
+        return {"key": key, **_fmt_window(window),
+                "live_words": ",".join(sorted(state))}
+
+
+class MetaConstants(StreamOpSpec):
+    """K3: pointwise constant map with conflict-to-⊤ merge."""
+
+    name = "meta_constants"
+    key_column = "speaker_id"
+    value_columns = ("codec", "sr_hz")
+    fields = ("codec", "sr_hz")
+
+    def initial_state(self) -> dict:
+        return {}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        out = dict(a)
+        for k, v in b.items():
+            if k in out and out[k] != v:
+                out[k] = TOP
+            elif k not in out:
+                out[k] = v
+        return out
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        for r in rows:
+            for f in self.fields:
+                v = r[f]
+                if f in state and state[f] != v:
+                    state[f] = TOP
+                elif f not in state:
+                    state[f] = v
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        return {"key": key, **_fmt_window(window),
+                "consts": ";".join(f"{f}={'TOP' if state[f] is TOP else state[f]}"
+                                   for f in sorted(state))}
+
+
+class CommonWords(StreamOpSpec):
+    """K4: intersection with ⊤ init (None = "no row seen yet" = Full set,
+    the ``Set::Full`` of ``passes/src/available_expr.rs:104-110``).
+    Emitting before the window closes would intersect a partial row set
+    and produce a superset — hence strictly watermark-gated."""
+
+    name = "common_words"
+    key_column = "speaker_id"
+    value_columns = ("transcript",)
+
+    def initial_state(self):
+        return None  # ⊤
+
+    def merge(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a & b
+
+    def update(self, state, rows: list[dict]):
+        for r in rows:
+            words = frozenset((r["transcript"] or "").split())
+            state = words if state is None else (state & words)
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        words = sorted(state) if state is not None else ["<TOP>"]
+        return {"key": key, **_fmt_window(window),
+                "common_words": ",".join(words)}
+
+
+class ClipStats(StreamOpSpec):
+    """Numeric windowed aggregate: count / total duration / sr mix.
+
+    Mergeable (sum/count/max are semilattice-safe over disjoint row
+    sets); the canonical "partial + final" aggregate."""
+
+    name = "clip_stats"
+    key_column = "speaker_id"
+    value_columns = ("dur_ms", "sr_hz")
+
+    def initial_state(self) -> dict:
+        return {"n": 0, "dur_ms": 0, "max_sr": 0}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        return {"n": a["n"] + b["n"], "dur_ms": a["dur_ms"] + b["dur_ms"],
+                "max_sr": max(a["max_sr"], b["max_sr"])}
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        state["n"] += len(rows)
+        state["dur_ms"] += sum(r["dur_ms"] for r in rows)
+        state["max_sr"] = max([state["max_sr"]] + [r["sr_hz"] for r in rows])
+        return state
+
+    def update_table(self, state: dict, table) -> dict:
+        import pyarrow.compute as pc
+        state["n"] += table.num_rows
+        state["dur_ms"] += pc.sum(table["dur_ms"]).as_py() or 0
+        state["max_sr"] = max(state["max_sr"], pc.max(table["sr_hz"]).as_py() or 0)
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        return {"key": key, **_fmt_window(window), "n_clips": state["n"],
+                "total_dur_ms": state["dur_ms"], "max_sr_hz": state["max_sr"]}
+
+
+class AudioEnergy(StreamOpSpec):
+    """Flagship compute kernel: decode each clip's audio bytes (pcm16 /
+    ulaw, numpy) and aggregate energy per (speaker, window).
+
+    sum-of-squares / sample counts are exactly mergeable, so decoded
+    PCM never needs to be retained or shuffled — only O(1) partials."""
+
+    name = "audio_energy"
+    key_column = "speaker_id"
+    value_columns = ("bytes", "codec", "dur_ms")
+
+    #: per-clip contributions are quantized to integers BEFORE summing, so
+    #: the aggregate is bit-exact regardless of fold/merge order (the same
+    #: trick the oracle-vs-engine float comparison would otherwise need an
+    #: epsilon for).
+    _Q = 1 << 20
+
+    def initial_state(self) -> dict:
+        return {"n_clips": 0, "n_samples": 0, "sumsq_q": 0, "peak_q": 0}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        return {"n_clips": a["n_clips"] + b["n_clips"],
+                "n_samples": a["n_samples"] + b["n_samples"],
+                "sumsq_q": a["sumsq_q"] + b["sumsq_q"],
+                "peak_q": max(a["peak_q"], b["peak_q"])}
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        for r in rows:
+            pcm = decode_clip(r["bytes"], r["codec"])
+            state["n_clips"] += 1
+            state["n_samples"] += pcm.size
+            sumsq = float(np.sum(np.square(pcm, dtype=np.float64)))
+            state["sumsq_q"] += int(round(sumsq * self._Q))
+            peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+            state["peak_q"] = max(state["peak_q"], int(round(peak * self._Q)))
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        n = state["n_samples"]
+        rms_val = np.sqrt(state["sumsq_q"] / self._Q / n) if n else 0.0
+        return {"key": key, **_fmt_window(window),
+                "n_clips": state["n_clips"], "n_samples": n,
+                "rms_milli": int(round(1000 * rms_val)),
+                "peak_milli": int(round(1000 * state["peak_q"] / self._Q))}
+
+
+KERNELS: dict[str, type[StreamOpSpec]] = {
+    k.name: k for k in
+    (ActiveVersions, ReverseLiveWords, MetaConstants, CommonWords,
+     ClipStats, AudioEnergy)
+}

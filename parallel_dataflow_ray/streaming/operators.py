@@ -1,0 +1,304 @@
+"""Per-partition stateful operators (the engine's actor payloads).
+
+Each operator owns the state for one hash partition of the key space —
+the graft of the reference's per-CFG ``in_vals``/``out_vals`` arrays
+owned by one thread (``impls/src/parallel.rs:24-25``) — and exposes the
+chassis interface the partition actor drives:
+
+    apply(table, wm_prev)      ingest one epoch's rows for this partition
+    on_watermark(wm) -> rows   close + emit everything the frontier passed
+    snapshot()/restore(bytes)  per-partition checkpoint payload
+
+State layout for fixed windows: hash-map keyed ``(key, window)`` plus a
+min-heap of window end-times for eviction (north_star: "windowed
+hash-aggregate (hash-map keyed by (clip_id-hash, window_id) with
+min-heap watermark eviction)").
+"""
+
+from __future__ import annotations
+
+import heapq
+import pickle
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from .spec import StreamOpSpec
+from .windows import SessionWindows
+
+
+def _rows_of(table: pa.Table) -> list[dict]:
+    return table.to_pylist()
+
+
+def _sort_rows(rows: list[dict], reverse: bool) -> list[dict]:
+    return sorted(rows, key=lambda r: (r["event_ts"], r["offset"]), reverse=reverse)
+
+
+class WindowedAggregateOp:
+    """Tumbling/sliding windowed aggregate over a ``StreamOpSpec``."""
+
+    def __init__(self, spec: StreamOpSpec, assigner, ts_column: str = "event_ts"):
+        assert assigner.kind in ("tumbling", "sliding")
+        self.spec = spec
+        self.assigner = assigner
+        self.ts_column = ts_column
+        self.states: dict[tuple, Any] = {}      # (key, window) -> state | {offset: row}
+        self.heap: list[tuple[int, Any, tuple]] = []  # (end, key, window)
+        self.live: set[tuple] = set()
+        self.late_rows = 0
+        self.rows_seen = 0
+
+    def apply(self, table: pa.Table, wm_prev: int) -> None:
+        if table.num_rows == 0:
+            return
+        spec = self.spec
+        key_col = table[spec.key_column].to_pylist()
+        ts = table[self.ts_column].cast(pa.int64()).to_numpy()
+        windows = self.assigner.assign_many(ts)
+        rows = _rows_of(table)
+        self.rows_seen += len(rows)
+        groups: dict[tuple, list[dict]] = {}
+        for row, key, t, wins in zip(rows, key_col, ts, windows):
+            row["event_ts"] = int(t)  # normalize timestamps to int64 us
+            accepted = False
+            for w in wins:
+                if wm_prev >= w[1]:
+                    continue  # window already closed -> late for this pane
+                accepted = True
+                groups.setdefault((key, w), []).append(row)
+            if not accepted:
+                self.late_rows += 1
+        for (key, w), grp in groups.items():
+            kw = (key, w)
+            if kw not in self.states:
+                self.states[kw] = spec.initial_state() if spec.incremental else {}
+                heapq.heappush(self.heap, (w[1], key, w))
+                self.live.add(kw)
+            if spec.incremental:
+                self.states[kw] = spec.update(self.states[kw], _sort_rows(grp, False))
+            else:
+                buf = self.states[kw]
+                for row in grp:
+                    buf[row["offset"]] = row  # offset-keyed -> idempotent re-ingest
+
+    def on_watermark(self, wm: int) -> list[dict]:
+        out = []
+        spec = self.spec
+        while self.heap and self.heap[0][0] <= wm:
+            end, key, w = heapq.heappop(self.heap)
+            kw = (key, w)
+            if kw not in self.live:
+                continue
+            self.live.discard(kw)
+            state = self.states.pop(kw)
+            if not spec.incremental:
+                rows = _sort_rows(list(state.values()), spec.order == "reverse")
+                state = spec.update(spec.initial_state(), rows)
+            row = spec.finish(key, w, state)
+            if row is not None:
+                out.append(row)
+        return out
+
+    # -- checkpoint --------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {"states": self.states, "heap": self.heap, "live": self.live,
+             "late_rows": self.late_rows, "rows_seen": self.rows_seen},
+            protocol=pickle.HIGHEST_PROTOCOL)
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.states, self.heap, self.live = d["states"], d["heap"], d["live"]
+        self.late_rows, self.rows_seen = d["late_rows"], d["rows_seen"]
+
+
+class SessionAggregateOp:
+    """Session windows: per-key interval merging of partial sessions.
+
+    A row opens the interval ``[ts, ts+gap)``; overlapping intervals for
+    the same key merge (and their states merge via ``spec.merge`` —
+    legal because merge is a semilattice combine).  A session closes
+    when the watermark passes its end.
+    """
+
+    def __init__(self, spec: StreamOpSpec, assigner: SessionWindows,
+                 ts_column: str = "event_ts"):
+        self.spec = spec
+        self.gap_us = assigner.gap_us
+        self.ts_column = ts_column
+        # key -> sorted list of [start, end, state_or_buffer]
+        self.sessions: dict[Any, list[list]] = {}
+        self.late_rows = 0
+        self.rows_seen = 0
+
+    def _mk_state(self, rows: list[dict]):
+        if self.spec.incremental:
+            return self.spec.update(self.spec.initial_state(), _sort_rows(rows, False))
+        return {r["offset"]: r for r in rows}
+
+    def _merge_states(self, a, b):
+        if self.spec.incremental:
+            return self.spec.merge(a, b)
+        a.update(b)
+        return a
+
+    def apply(self, table: pa.Table, wm_prev: int) -> None:
+        if table.num_rows == 0:
+            return
+        key_col = table[self.spec.key_column].to_pylist()
+        ts = table[self.ts_column].cast(pa.int64()).to_numpy()
+        rows = _rows_of(table)
+        self.rows_seen += len(rows)
+        for row, key, t in zip(rows, key_col, ts):
+            t = int(t)
+            row["event_ts"] = t
+            if wm_prev >= t + self.gap_us:
+                self.late_rows += 1  # session it would open has already closed
+                continue
+            self._insert(key, t, row)
+
+    def _insert(self, key, t: int, row: dict) -> None:
+        start, end = t, t + self.gap_us
+        ivs = self.sessions.setdefault(key, [])
+        state = self._mk_state([row])
+        # collect overlapping intervals ([s,e) overlaps [start,end) if s < end and start < e)
+        keep, merged = [], [start, end, state]
+        for iv in ivs:
+            if iv[0] < merged[1] and merged[0] < iv[1]:
+                merged[0] = min(merged[0], iv[0])
+                merged[1] = max(merged[1], iv[1])
+                merged[2] = self._merge_states(iv[2], merged[2])
+            else:
+                keep.append(iv)
+        keep.append(merged)
+        keep.sort(key=lambda iv: iv[0])
+        self.sessions[key] = keep
+
+    def on_watermark(self, wm: int) -> list[dict]:
+        out = []
+        spec = self.spec
+        for key in list(self.sessions):
+            remain = []
+            for iv in self.sessions[key]:
+                if iv[1] <= wm:
+                    state = iv[2]
+                    if not spec.incremental:
+                        rows = _sort_rows(list(state.values()), spec.order == "reverse")
+                        state = spec.update(spec.initial_state(), rows)
+                    row = spec.finish(key, (iv[0], iv[1]), state)
+                    if row is not None:
+                        out.append(row)
+                else:
+                    remain.append(iv)
+            if remain:
+                self.sessions[key] = remain
+            else:
+                del self.sessions[key]
+        return out
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"sessions": self.sessions, "late_rows": self.late_rows,
+                             "rows_seen": self.rows_seen}, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.sessions, self.late_rows, self.rows_seen = (
+            d["sessions"], d["late_rows"], d["rows_seen"])
+
+
+class SymmetricJoinOp:
+    """Stateful symmetric hash join between two co-partitioned streams.
+
+    Per-partition actor state = two hash tables keyed on ``key_column``
+    (north_star: "a stateful symmetric hash join between the audio-clip
+    stream and the transcript stream").  Each arriving row probes the
+    opposite table and emits every pair within ``time_bound_us`` of
+    event time; rows evict once the watermark guarantees no future
+    match (wm >= ts + time_bound).  Partitioning both streams on the
+    same key hash is what makes the per-partition tables complete —
+    the Streaming-HyperCube-style co-partitioning argument.
+
+    Input rows must carry ``__stream`` (0 = left, 1 = right).
+    """
+
+    def __init__(self, key_column: str = "clip_id", time_bound_us: int = 60_000_000,
+                 left_columns: tuple = (), right_columns: tuple = (),
+                 ts_column: str = "event_ts"):
+        self.key_column = key_column
+        self.time_bound_us = int(time_bound_us)
+        self.left_columns = tuple(left_columns)
+        self.right_columns = tuple(right_columns)
+        self.ts_column = ts_column
+        self.tables: tuple[dict, dict] = ({}, {})  # key -> {offset: row}
+        self.pending: list[dict] = []  # matched this epoch, not yet collected
+        self.late_rows = 0
+        self.rows_seen = 0
+
+    def _emit(self, left: dict, right: dict) -> dict:
+        out = {self.key_column: left[self.key_column],
+               "ts_left": left["event_ts"], "ts_right": right["event_ts"]}
+        for c in self.left_columns:
+            out[c] = left.get(c)
+        for c in self.right_columns:
+            out[c] = right.get(c)
+        return out
+
+    def apply(self, table: pa.Table, wm_prev: int) -> None:
+        if table.num_rows == 0:
+            return
+        ts = table[self.ts_column].cast(pa.int64()).to_numpy()
+        rows = _rows_of(table)
+        self.rows_seen += len(rows)
+        for row, t in zip(rows, ts):
+            t = int(t)
+            row["event_ts"] = t
+            if wm_prev >= t + self.time_bound_us:
+                self.late_rows += 1  # every possible match already evicted
+                continue
+            side = int(row.pop("__stream"))
+            key = row[self.key_column]
+            mine, other = self.tables[side], self.tables[1 - side]
+            bucket = mine.setdefault(key, {})
+            if row["offset"] in bucket:
+                continue  # idempotent re-ingest (replayed epoch)
+            bucket[row["offset"]] = row
+            for orow in other.get(key, {}).values():
+                if abs(orow["event_ts"] - t) <= self.time_bound_us:
+                    pair = (row, orow) if side == 0 else (orow, row)
+                    self.pending.append(self._emit(*pair))
+
+    def on_watermark(self, wm: int) -> list[dict]:
+        out, self.pending = self.pending, []
+        for side in (0, 1):
+            tbl = self.tables[side]
+            for key in list(tbl):
+                bucket = {o: r for o, r in tbl[key].items()
+                          if r["event_ts"] + self.time_bound_us > wm}
+                if bucket:
+                    tbl[key] = bucket
+                else:
+                    del tbl[key]
+        return out
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps({"tables": self.tables, "pending": self.pending,
+                             "late_rows": self.late_rows, "rows_seen": self.rows_seen},
+                            protocol=pickle.HIGHEST_PROTOCOL)
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.tables, self.pending = d["tables"], d["pending"]
+        self.late_rows, self.rows_seen = d["late_rows"], d["rows_seen"]
+
+
+def make_operator(kind: str, **kw):
+    """Factory used by the partition actor (kind: window|session|join)."""
+    if kind == "window":
+        return WindowedAggregateOp(**kw)
+    if kind == "session":
+        return SessionAggregateOp(**kw)
+    if kind == "join":
+        return SymmetricJoinOp(**kw)
+    raise ValueError(kind)
