@@ -1,0 +1,161 @@
+"""Benchmark harness — prints ONE JSON line the driver records as
+BENCH_r{N}.json.
+
+Headline: the flagship streaming pipeline (clips -> epochs -> windowed
+AudioEnergy via the CEP engine with exactly-once sink) in clips/sec,
+plus a battery of sf0.1 batch queries.
+
+    python bench.py              # RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes -> scaling efficiency
+
+Graft of the reference's perf harness (impls/src/bin/perf.rs): fresh
+process per measurement, explicit load-vs-run split, CSV -> JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# streaming bench shape: enough rows that per-epoch driver overhead is
+# amortized, windows sized so state stays bounded
+STREAM_CLIPS = int(os.environ.get("GRAFT_BENCH_CLIPS", "6000"))
+STREAM_EPOCH_ROWS = 500
+
+BATCH_QUERIES = [
+    "q1_pricing_summary", "q3_top_orders", "filter_high_value",
+    "broadcast_region_count", "topk_orders", "props_k_by_type",
+    "tumbling_events", "sliding_events", "session_events",
+    "token_stats", "exact_dedup_docs", "minhash_neardup",
+    "knn_topk", "stream_tumbling_events",
+]
+
+
+def _consume(res) -> int:
+    """Force execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return 0
+
+
+def bench_streaming(tmpdir: str) -> dict:
+    """clips/sec through the full engine (decode + window agg + sink)."""
+    import pyarrow.parquet as pq
+
+    from parallel_dataflow_ray.fixtures import clips_dataset
+    from parallel_dataflow_ray.streaming import StreamEngine, TumblingWindows
+    from parallel_dataflow_ray.streaming.kernels import AudioEnergy
+    from parallel_dataflow_ray.streaming.partitioning import epochs_from_table
+
+    gen_path = os.path.join(tmpdir, f"clips_{STREAM_CLIPS}")
+    t0 = time.perf_counter()
+    if not os.path.exists(gen_path):
+        clips_dataset(STREAM_CLIPS, seed=42, lateness_ms=40,
+                      n_speakers=32).write_parquet(gen_path)
+    table = pq.read_table(gen_path)
+    # arrival order = offset order (the parquet may interleave blocks)
+    import pyarrow.compute as pc
+    table = table.take(pc.sort_indices(table, sort_keys=[("offset", "ascending")]))
+    load_s = time.perf_counter() - t0
+
+    epochs = epochs_from_table(table, STREAM_EPOCH_ROWS)
+    P = max(4, min(16, NUM_CPUS - 2))
+    eng = StreamEngine(
+        "window", {"spec": AudioEnergy(), "assigner": TumblingWindows(5_000_000)},
+        num_partitions=P, allowed_lateness_us=50_000,
+        sink_root=os.path.join(tmpdir, f"sink_{NUM_CPUS}_{time.time_ns()}"),
+        ckpt_root=os.path.join(tmpdir, f"ckpt_{NUM_CPUS}_{time.time_ns()}"),
+        ckpt_interval=4, actor_num_cpus=1)
+    t1 = time.perf_counter()
+    eng.run(epochs, final_flush=True)
+    run_s = time.perf_counter() - t1
+    return {"clips": STREAM_CLIPS, "load_sec": round(load_s, 3),
+            "run_sec": round(run_s, 3),
+            "clips_per_sec": round(STREAM_CLIPS / run_s, 1),
+            "partitions": P}
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from parallel_dataflow_ray.pipelines import QUERIES
+
+    tmpdir = os.environ.get("GRAFT_BENCH_TMP", "/tmp/graft_bench")
+    os.makedirs(tmpdir, exist_ok=True)
+
+    # warm the page cache (perf.rs-style: measure compute, not cold disk)
+    for q in ("lineitem", "events", "documents", "embeddings"):
+        with open(os.path.join(SF_DIR, f"{q}.parquet"), "rb") as f:
+            f.read()
+
+    stream = bench_streaming(tmpdir)
+
+    per_query: dict[str, float] = {}
+    total = stream["run_sec"]
+    for name in BATCH_QUERIES:
+        t0 = time.perf_counter()
+        n = _consume(QUERIES[name](SF_DIR))
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        assert n >= 0
+    per_query["stream_audio_energy"] = stream["run_sec"]
+
+    out = {"metric": "bench_total_sec", "value": round(total, 3), "unit": "sec",
+           "queries": per_query, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           "clips_per_sec": stream["clips_per_sec"],
+           "stream": stream}
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(n: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    # scaling efficiency on the streaming headline (clips/sec ratio / cpu ratio)
+    thr_lo = r_lo["clips_per_sec"]
+    thr_hi = r_hi["clips_per_sec"]
+    eff_stream = (thr_hi / thr_lo) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency", "value": round(eff_stream, 3),
+        "unit": "ratio", "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "clips_per_sec_lo": thr_lo, "clips_per_sec_hi": thr_hi,
+        "bench_total_sec_lo": r_lo["value"], "bench_total_sec_hi": r_hi["value"],
+        "scaling_efficiency_total": round(eff_total, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,104 @@
+"""Text-analysis kernels for the documents table — vectorized per batch.
+
+Large-scale training-data pipeline primitives: token counting, language
+ID (character n-gram heuristic), quality scoring, and rolling-hash
+document fingerprinting.  All operate on a pandas Series / numpy array
+of strings at once; per-row Python work is bounded to cheap string ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_M61 = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """Number of single-space-separated tokens (matches SQL
+    ``array_length(string_split(text, ' '))``)."""
+    return (texts.str.count(" ").fillna(0).to_numpy(np.int64) +
+            (texts.str.len().fillna(0).to_numpy(np.int64) > 0))
+
+
+def char_ngrams(text: str, n: int = 3) -> set:
+    t = f" {text} "
+    return {t[i:i + n] for i in range(max(0, len(t) - n + 1))}
+
+
+# tiny per-language trigram profiles (public-knowledge heuristic: stopword
+# and character-pattern cues, not a trained model)
+_LANG_HINTS = {
+    "en": (" th", "the", " an", "and", "ing", " of"),
+    "es": (" de", " la", "os ", " el", "ión", " qu"),
+    "de": (" de", "der", "ein", "sch", " un", "die"),
+    "fr": (" de", " le", "es ", " la", "ent", " et"),
+    "zh": (),  # CJK detected by codepoint range below
+}
+
+
+def lang_id(texts: pd.Series) -> np.ndarray:
+    """Heuristic language ID. Returns a language code per row ('und' when
+    no signal).  Deterministic; tie-break by language code order."""
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts.fillna("")):
+        if any("一" <= c <= "鿿" for c in t[:200]):
+            out[i] = "zh"
+            continue
+        grams = char_ngrams(t[:500].lower())
+        best, best_score = "und", 0
+        for lang in sorted(_LANG_HINTS):
+            score = sum(1 for g in _LANG_HINTS[lang] if g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        out[i] = best
+    return out
+
+
+def quality_score_milli(texts: pd.Series) -> dict[str, np.ndarray]:
+    """Length / punctuation / stopword-ratio quality features, returned as
+    integer milli-units so distributed recomputation is bit-exact."""
+    s = texts.fillna("")
+    n_chars = s.str.len().to_numpy(np.int64)
+    n_tokens = token_count(s)
+    n_alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+    n_punct = s.str.count(r"[^\w\s]").to_numpy(np.int64)
+    n_stop = (
+        s.str.count(r"\bthe\b") + s.str.count(r"\band\b") + s.str.count(r"\bof\b")
+        + s.str.count(r"\ba\b") + s.str.count(r"\bto\b")
+    ).to_numpy(np.int64)
+    denom = np.maximum(n_chars, 1)
+    tok_denom = np.maximum(n_tokens, 1)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio_milli": (1000 * n_alpha) // denom,
+        "punct_ratio_milli": (1000 * n_punct) // denom,
+        "stop_ratio_milli": (1000 * n_stop) // tok_denom,
+    }
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """Rolling polynomial hash over the whole document (mod 2^61-1) — a
+    cheap content fingerprint; equal documents get equal fingerprints."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * _FP_BASE + b) % _M61
+        out[i] = h
+    return out
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

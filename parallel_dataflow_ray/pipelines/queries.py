@@ -1,0 +1,504 @@
+"""The operator-coverage registry: every pipeline from SURVEY.md §2 as a
+``queries()`` entry, with a DuckDB ``oracle_sql()`` twin where the
+semantics are SQL-expressible.
+
+Determinism rules (so the driver's order-insensitive value-hash gate
+passes bit-for-bit):
+
+- every money/metric double is quantized ``rint(x * 10^k) -> int64``
+  BEFORE aggregation, on both the Ray side and in the SQL (``CAST(
+  ROUND(x*100) AS BIGINT)``) — integer sums are order-independent;
+- timestamps are compared as ``int64`` microseconds (``epoch_us``);
+- top-k always carries a unique tiebreak column in the sort;
+- column names are identical on both sides by construction.
+
+Ray is NEVER initialised here (driver contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..fixtures import clips_table
+from ..sources.tables import read_table
+from ..stages import dedup as dd
+from ..stages import relational as rel
+from ..stages import similarity as sim
+from ..stages import windows_batch as wb
+from ..stages.multimodal import audio_features
+from ..functions.text import fingerprint64, lang_id, quality_score_milli
+from ..streaming import StreamEngine, TumblingWindows
+from ..streaming.kernels import AudioEnergy
+from ..streaming.partitioning import epochs_from_table
+from ..streaming.spec import StreamOpSpec
+
+HOUR_US = 3_600_000_000
+Q15M_US = 900_000_000
+GAP_US = 1_800_000_000
+
+
+def _cents_col(name_in: str, name_out: str, scale: int = 100):
+    def add(t: pa.Table) -> pa.Table:
+        return rel.cents(t, name_in, name_out, scale)
+    return add
+
+
+# ---------------------------------------------------------------------------
+# relational pipelines (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with map-side partials (graft of partial meet +
+    final exit-meet, reference impls/src/sequential.rs:32-37,52-58)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        p = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.rint((1 - t["l_discount"].to_numpy()) * 100).astype(np.int64)
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(q), "sum_base_cents": pa.array(p),
+            "sum_disc_c4": pa.array(p * d),
+        })
+
+    ds = ds.map_batches(quantize, batch_format="pyarrow", batch_size=65536)
+    return rel.grouped_sum(ds, ["l_returnflag", "l_linestatus"],
+                           ["sum_qty", "sum_base_cents", "sum_disc_c4"],
+                           count_as="n_rows")
+
+
+def filter_high_value(sf_dir: str):
+    """Predicate pushdown + projection (stateless map/filter coverage)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+                    filter=(pc.field("o_totalprice") > 150000.0))
+
+    def proj(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"], "total_cents": pa.array(c)})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q3_top_orders(sf_dir: str):
+    """Hash join lineitem⋈orders + grouped revenue + top-10."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"],
+                    filter=(pc.field("l_shipdate") > pa.scalar(
+                        pd.Timestamp("1995-03-15"))))
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                        filter=(pc.field("o_orderdate") < pa.scalar(
+                            pd.Timestamp("1995-03-15"))))
+
+    def rev(t: pa.Table) -> pa.Table:
+        p = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.rint((1 - t["l_discount"].to_numpy()) * 100).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": pa.array(p * d)})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    joined = rel.hash_join(li, orders, on=("l_orderkey",),
+                           right_on=("o_orderkey",), num_partitions=8)
+    grouped = rel.grouped_sum(joined, ["l_orderkey"], ["revenue_c4"])
+    pdf = grouped.to_pandas().sort_values(
+        ["revenue_c4", "l_orderkey"], ascending=[False, True]).head(10)
+    return pdf.reset_index(drop=True)
+
+
+def broadcast_region_count(sf_dir: str):
+    """Broadcast-small-side join: nation+region LUT -> customers per region."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    lut = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lut = lut[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    with_region = rel.broadcast_lookup(cust, lut, on="c_nationkey",
+                                       add_columns=["r_name"])
+    # (broadcast_lookup joins on the index; rename to match)
+    ds = with_region.map_batches(
+        lambda b: b[["r_name"]].assign(n_customers=1),
+        batch_format="pandas")
+    return rel.grouped_sum(ds, ["r_name"], ["n_customers"])
+
+
+def topk_orders(sf_dir: str):
+    ds = filter_high_value(sf_dir)
+    t = rel.top_k(ds, [("total_cents", True), ("o_orderkey", False)], 20)
+    return t
+
+
+def distinct_event_types(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return pd.DataFrame({"event_type": sorted(ds.unique("event_type"))})
+
+
+def props_k_by_type(sf_dir: str):
+    """JSON-ish props parsing (per-record parser coverage, the S1 analog)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        return pd.DataFrame({"event_type": b["event_type"], "sum_k": k})
+
+    ds = ds.map_batches(parse, batch_format="pandas")
+    return rel.grouped_sum(ds, ["event_type"], ["sum_k"], count_as="n_events")
+
+
+# ---------------------------------------------------------------------------
+# windowed analytics over events
+# ---------------------------------------------------------------------------
+
+def _events_cents(sf_dir: str) -> rd.Dataset:
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "value_cents": pa.array(vc)})
+
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+
+def tumbling_events(sf_dir: str):
+    return wb.tumbling_agg(_events_cents(sf_dir), "user_id", "ts", HOUR_US,
+                           ["value_cents"], count_as="n_events")
+
+
+def sliding_events(sf_dir: str):
+    return wb.sliding_agg(_events_cents(sf_dir), "user_id", "ts", HOUR_US,
+                          Q15M_US, ["value_cents"], count_as="n_events")
+
+
+def session_events(sf_dir: str):
+    return wb.session_agg(_events_cents(sf_dir), "user_id", "ts", GAP_US,
+                          ["value_cents"], count_as="n_events")
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def token_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        # matches SQL array_length(string_split(text, ' '))
+        n_tokens = b["text"].fillna("").str.count(" ").astype("int64") + 1
+        return pd.DataFrame({"doc_id": b["doc_id"], "n_tokens": n_tokens,
+                             "n_chars_calc": b["text"].fillna("").str.len().astype("int64")})
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def lang_count(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    ds = ds.map_batches(lambda b: b.assign(n_docs=1), batch_format="pandas")
+    return rel.grouped_sum(ds, ["lang"], ["n_docs"])
+
+
+def exact_dedup_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.exact_dedup(ds)
+
+
+def docs_quality(sf_dir: str):
+    """Quality features (rows-only check: regex-class semantics are not
+    replicated in SQL)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_score_milli(b["text"])
+        return pd.DataFrame({"doc_id": b["doc_id"], **feats})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def langid_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "pred_lang": lang_id(b["text"])}),
+        batch_format="pandas", batch_size=1024)
+
+
+def fingerprint_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "fp": fingerprint64(b["text"])}),
+        batch_format="pandas")
+
+
+def minhash_neardup(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = dd.minhash_candidates(docs)
+    return dd.verify_jaccard(cands, docs, threshold=0.6)
+
+
+def simhash_neardup(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.simhash_candidates(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 8) -> np.ndarray:
+    t = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                   filter=(pc.field("vec_id") < n)).to_pandas().sort_values("vec_id")
+    return np.stack(t["embedding"].to_numpy())
+
+
+def knn_topk(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vectors(sf_dir)
+    out = sim.brute_force_topk(ds, q, k=10)
+    out = out.rename(columns={"query_id": "qidx"})
+    out["query_id"] = out["qidx"].astype("int64")  # query index == vec_id by construction
+    return out[["query_id", "rank", "vec_id", "cos_milli"]]
+
+
+def embedding_neardup(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dd.embedding_neardup_pairs(ds, threshold=0.45)
+    return out[out["cos_milli"] >= 450].reset_index(drop=True)
+
+
+def ivf_topk_q(sf_dir: str):
+    """Approximate ANN (rows-only; recall vs brute force asserted in tests)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vectors(sf_dir)
+    out = sim.ivf_topk(ds, q, k=10)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# streaming engine on the events table (SQL-checkable CEP path)
+# ---------------------------------------------------------------------------
+
+class EventCountSum(StreamOpSpec):
+    """count+sum windowed aggregate keyed by user_id (engine conformance
+    against plain SQL GROUP BY)."""
+
+    name = "event_count_sum"
+    key_column = "user_id"
+    value_columns = ("value_cents",)
+
+    def initial_state(self):
+        return {"n": 0, "vc": 0}
+
+    def merge(self, a, b):
+        return {"n": a["n"] + b["n"], "vc": a["vc"] + b["vc"]}
+
+    def update(self, state, rows):
+        state["n"] += len(rows)
+        state["vc"] += sum(r["value_cents"] for r in rows)
+        return state
+
+    def finish(self, key, window, state):
+        return {"user_id": key, "window_start_us": int(window[0]),
+                "n_events": state["n"], "value_cents": state["vc"]}
+
+
+def stream_tumbling_events(sf_dir: str):
+    """The CEP engine itself (epochs + watermarks + partition actors +
+    merge) reproducing a SQL GROUP BY — the sharpest end-to-end check
+    that the engine's frontier semantics are exactly right."""
+    t = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]) \
+        .to_arrow_refs()
+    import ray
+    tbl = pa.concat_tables([ray.get(r) for r in t])
+    vc = np.rint(tbl["value"].to_numpy() * 100).astype(np.int64)
+    stream = pa.table({
+        "user_id": tbl["user_id"],
+        "event_ts": tbl["ts"].cast(pa.int64()),
+        "offset": tbl["event_id"],
+        "value_cents": pa.array(vc),
+    })
+    # events are arrival-ordered by event_id with monotone ts -> lateness 0
+    epochs = epochs_from_table(stream, 2048)
+    eng = StreamEngine("window",
+                       {"spec": EventCountSum(), "assigner": TumblingWindows(HOUR_US)},
+                       num_partitions=8, allowed_lateness_us=0)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
+def stream_audio_energy(sf_dir: str):
+    """Flagship audio pipeline (fixture-driven; rows-only check):
+    clips -> epochs -> windowed AudioEnergy aggregate via the engine."""
+    n = 400
+    table = clips_table(n, seed=42, lateness_ms=40, n_speakers=7)
+    epochs = epochs_from_table(table, 97)
+    eng = StreamEngine("window",
+                       {"spec": AudioEnergy(), "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
+def audio_features_q(sf_dir: str):
+    """Multimodal actor-pool decode stage over the clips fixture."""
+    import ray.data as rd
+    table = clips_table(200, seed=42)
+    ds = rd.from_arrow(table)
+    return audio_features(ds).select_columns(
+        ["clip_id", "n_samples", "rms_q20", "peak_q20"])
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_high_value": filter_high_value,
+    "q3_top_orders": q3_top_orders,
+    "broadcast_region_count": broadcast_region_count,
+    "topk_orders": topk_orders,
+    "distinct_event_types": distinct_event_types,
+    "props_k_by_type": props_k_by_type,
+    "tumbling_events": tumbling_events,
+    "sliding_events": sliding_events,
+    "session_events": session_events,
+    "token_stats": token_stats,
+    "lang_count": lang_count,
+    "exact_dedup_docs": exact_dedup_docs,
+    "docs_quality": docs_quality,
+    "langid_docs": langid_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "minhash_neardup": minhash_neardup,
+    "simhash_neardup": simhash_neardup,
+    "knn_topk": knn_topk,
+    "embedding_neardup": embedding_neardup,
+    "ivf_topk": ivf_topk_q,
+    "stream_tumbling_events": stream_tumbling_events,
+    "stream_audio_energy": stream_audio_energy,
+    "audio_features": audio_features_q,
+}
+
+_TUMBLING_SQL = """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c4,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+""",
+    "filter_high_value": """
+SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders WHERE o_totalprice > 150000
+""",
+    "q3_top_orders": """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c4
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY 1 ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+""",
+    "broadcast_region_count": """
+SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+    "topk_orders": """
+SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders WHERE o_totalprice > 150000
+ORDER BY total_cents DESC, o_orderkey LIMIT 20
+""",
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "props_k_by_type": """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+    "tumbling_events": _TUMBLING_SQL,
+    "sliding_events": """
+WITH e AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) vc, epoch_us(ts) eu
+           FROM events)
+SELECT user_id, w.s * 900000000 AS window_start_us,
+       CAST(SUM(vc) AS BIGINT) AS value_cents, COUNT(*) AS n_events
+FROM e, UNNEST(GENERATE_SERIES((eu - 3600000000) // 900000000 + 1,
+                               eu // 900000000)) AS w(s)
+WHERE w.s >= 0
+GROUP BY 1, 2
+""",
+    "session_events": """
+WITH e AS (SELECT user_id, epoch_us(ts) eu, CAST(ROUND(value*100) AS BIGINT) vc
+           FROM events),
+f AS (SELECT *, CASE WHEN eu - LAG(eu) OVER w > 1800000000
+                      OR LAG(eu) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY eu
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, CAST(MIN(eu) AS BIGINT) AS session_start_us,
+       CAST(MAX(eu) AS BIGINT) AS session_end_us,
+       COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
+FROM g GROUP BY user_id, sid
+""",
+    "token_stats": """
+SELECT doc_id,
+       CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+""",
+    "lang_count": "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1",
+    "exact_dedup_docs": """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+""",
+    "knn_topk": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM q, embeddings e WHERE e.vec_id != q.qid),
+r AS (SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      FROM s)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+       CAST(ROUND(cos*1000) AS BIGINT) AS cos_milli
+FROM r WHERE rnk <= 10
+""",
+    "embedding_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_cosine_similarity(a.v, b.v)*1000) AS BIGINT) AS cos_milli
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CAST(ROUND(list_cosine_similarity(a.v, b.v)*1000) AS BIGINT) >= 450
+""",
+    "stream_tumbling_events": _TUMBLING_SQL,
+    # rows-only (non-SQL-expressible): docs_quality, langid_docs,
+    # fingerprint_docs, minhash_neardup, simhash_neardup, ivf_topk,
+    # stream_audio_energy, audio_features
+}
+
+
+def flagship_entry():
+    """Driver smoke entry: flagship streaming pipeline at sf0.001."""
+    return stream_audio_energy("/root/testdata/sf0.001")

@@ -39,11 +39,17 @@ def _sort_rows(rows: list[dict], reverse: bool) -> list[dict]:
 class WindowedAggregateOp:
     """Tumbling/sliding windowed aggregate over a ``StreamOpSpec``."""
 
-    def __init__(self, spec: StreamOpSpec, assigner, ts_column: str = "event_ts"):
+    def __init__(self, spec: StreamOpSpec, assigner, ts_column: str = "event_ts",
+                 partial_keys: frozenset = frozenset()):
         assert assigner.kind in ("tumbling", "sliding")
         self.spec = spec
         self.assigner = assigner
         self.ts_column = ts_column
+        #: salted hot keys: this partition holds only a PARTIAL state for
+        #: them; at window close it emits the state for owner-side merge
+        #: instead of finishing locally (skew splitting, SURVEY §4 —
+        #: valid because ``spec.merge`` is a semilattice combine)
+        self.partial_keys = frozenset(partial_keys)
         self.states: dict[tuple, Any] = {}      # (key, window) -> state | {offset: row}
         self.heap: list[tuple[int, Any, tuple]] = []  # (end, key, window)
         self.live: set[tuple] = set()
@@ -84,7 +90,19 @@ class WindowedAggregateOp:
                     buf[row["offset"]] = row  # offset-keyed -> idempotent re-ingest
 
     def on_watermark(self, wm: int) -> list[dict]:
-        out = []
+        rows, partials = self.on_watermark_split(wm)
+        if partials:  # single-process path (oracle): merge locally
+            groups: dict[tuple, list] = {}
+            for key, w, s in partials:
+                groups.setdefault((key, w), []).append(s)
+            rows = rows + self.merge_partials(groups)
+        return rows
+
+    def on_watermark_split(self, wm: int) -> tuple[list[dict], list[tuple]]:
+        """Close windows the frontier passed.  Returns (finished rows,
+        partial-state records for salted keys: [(key, window, state)])."""
+        out: list[dict] = []
+        partials: list[tuple] = []
         spec = self.spec
         while self.heap and self.heap[0][0] <= wm:
             end, key, w = heapq.heappop(self.heap)
@@ -93,10 +111,39 @@ class WindowedAggregateOp:
                 continue
             self.live.discard(kw)
             state = self.states.pop(kw)
+            if key in self.partial_keys:
+                # ship the raw partial (buffer for non-incremental specs —
+                # the owner folds the UNION in full event order)
+                partials.append((key, w, state))
+                continue
             if not spec.incremental:
                 rows = _sort_rows(list(state.values()), spec.order == "reverse")
                 state = spec.update(spec.initial_state(), rows)
             row = spec.finish(key, w, state)
+            if row is not None:
+                out.append(row)
+        return out, partials
+
+    def merge_partials(self, groups: dict[tuple, list[Any]]) -> list[dict]:
+        """Owner-side merge of salted partial states: {(key, window):
+        [state, ...]} -> finished rows.  For buffered (non-incremental)
+        specs the partials arrive as offset->row buffers and are folded
+        here in full event order."""
+        spec = self.spec
+        out = []
+        for (key, w), states in sorted(groups.items(),
+                                       key=lambda kv: (kv[0][1], str(kv[0][0]))):
+            if not spec.incremental:
+                buf: dict = {}
+                for s in states:
+                    buf.update(s)
+                rows = _sort_rows(list(buf.values()), spec.order == "reverse")
+                merged = spec.update(spec.initial_state(), rows)
+            else:
+                merged = states[0]
+                for s in states[1:]:
+                    merged = spec.merge(merged, s)
+            row = spec.finish(key, w, merged)
             if row is not None:
                 out.append(row)
         return out

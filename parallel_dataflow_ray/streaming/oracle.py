@@ -39,9 +39,13 @@ class OracleExecutor:
         self.op = make_operator(op_kind, **op_kwargs)
         self.clock = WatermarkClock(allowed_lateness_us)
 
-    def run(self, epochs: list[pa.Table], ts_column: str = "event_ts"
-            ) -> tuple[list[dict], dict]:
-        """Returns (emitted rows in canonical order, metrics)."""
+    def run(self, epochs: list[pa.Table], ts_column: str = "event_ts",
+            final_flush: bool = False) -> tuple[list[dict], dict]:
+        """Returns (emitted rows in canonical order, metrics).
+
+        ``final_flush`` appends a virtual end-of-stream epoch with
+        watermark = +inf (the fixpoint-termination analog: worklist
+        empty -> every remaining window closes and emits)."""
         emitted: list[dict] = []
         for epoch_idx, table in enumerate(epochs):
             wm_prev = self.clock.watermark
@@ -53,6 +57,8 @@ class OracleExecutor:
                     table[ts_column].cast(pa.int64())).as_py()
                 self.clock.observe(max_ts)
             emitted.extend(canonical_sort(self.op.on_watermark(self.clock.watermark)))
+        if final_flush:
+            emitted.extend(canonical_sort(self.op.on_watermark(2**62)))
         metrics = {"late_rows": self.op.late_rows, "rows_seen": self.op.rows_seen,
                    "final_watermark": self.clock.watermark}
         return emitted, metrics

@@ -34,20 +34,51 @@ def partition_ids(values, num_partitions: int) -> np.ndarray:
     return (stable_hash(values) % np.uint64(num_partitions)).astype(np.int64)
 
 
-def split_by_partition(table: pa.Table, key_column: str, num_partitions: int
-                       ) -> list[pa.Table]:
+def split_by_partition(table: pa.Table, key_column: str, num_partitions: int,
+                       salted_keys: dict | None = None) -> list[pa.Table]:
     """One pass split of an Arrow table into P sub-tables by key hash.
 
     This is the map side of the engine's shuffle; it runs as a stateless
     Ray task per input block (see ``engine._split_block``).
+
+    ``salted_keys = {key: n_salts}`` spreads a hot key's rows over
+    ``n_salts`` deterministic sub-routes (salt = offset % n) so no single
+    partition bears the whole key — the skew mitigation the reference
+    lacked (``blog/blog.md:84``).  The partition actor then emits PARTIAL
+    state for these keys; the owner merges (semilattice-safe).
     """
-    pids = partition_ids(table[key_column].to_pylist(), num_partitions)
+    keys = table[key_column].to_pylist()
+    pids = partition_ids(keys, num_partitions)
+    if salted_keys:
+        offsets = table["offset"].to_numpy(zero_copy_only=False)
+        keys_arr = np.asarray(keys, dtype=object)
+        for k, n in salted_keys.items():
+            mask = keys_arr == k
+            if mask.any():
+                salt = (offsets[mask] % n).astype(np.uint64)
+                base = stable_hash([k])[0]
+                pids[mask] = ((base + salt * np.uint64(0x9E3779B97F4A7C15))
+                              % np.uint64(num_partitions)).astype(np.int64)
     order = np.argsort(pids, kind="stable")
     sorted_tbl = table.take(pa.array(order))
     sorted_pids = pids[order]
     bounds = np.searchsorted(sorted_pids, np.arange(num_partitions + 1))
     return [sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
             for p in range(num_partitions)]
+
+
+def detect_hot_keys(table: pa.Table, key_column: str, *,
+                    threshold_frac: float = 0.15, num_partitions: int = 8,
+                    max_salts: int | None = None) -> dict:
+    """Driver-side pre-scan: keys holding more than ``threshold_frac`` of
+    rows get ``min(ceil(frac*P*2), max_salts or P)`` salts.  Determinism:
+    pure function of the input table."""
+    s = pd.Series(table[key_column].to_pylist())
+    frac = s.value_counts(normalize=True)
+    hot = frac[frac > threshold_frac]
+    cap = max_salts or num_partitions
+    return {k: int(min(cap, max(2, round(f * num_partitions * 2))))
+            for k, f in hot.items()}
 
 
 def epochs_from_table(table: pa.Table, epoch_rows: int) -> list[pa.Table]:
