@@ -303,6 +303,11 @@ class EventCountSum(StreamOpSpec):
         state["vc"] += sum(r["value_cents"] for r in rows)
         return state
 
+    def update_table(self, state, t):
+        state["n"] += t.num_rows
+        state["vc"] += pc.sum(t["value_cents"]).as_py() or 0
+        return state
+
     def finish(self, key, window, state):
         return {"user_id": key, "window_start_us": int(window[0]),
                 "n_events": state["n"], "value_cents": state["vc"]}

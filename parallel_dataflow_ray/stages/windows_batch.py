@@ -76,8 +76,10 @@ def sliding_agg(ds: rd.Dataset, key: str, ts_col: str, size_us: int,
 
 def session_agg(ds: rd.Dataset, key: str, ts_col: str, gap_us: int,
                 sums: list[str], count_as: str = "n_events") -> rd.Dataset:
-    """Per-key sessionization: hash shuffle on key, then a sorted
-    gaps-and-islands scan per group (vectorized pandas)."""
+    """Per-key sessionization: hash-bucket shuffle on key, then a sorted
+    gaps-and-islands scan per key inside each bucket (bucketing avoids
+    Ray's per-group Aggregate overhead; the scan is vectorized)."""
+    from .relational import bucketed_groupby
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         ts = g[ts_col].astype("int64").to_numpy()
@@ -101,4 +103,8 @@ def session_agg(ds: rd.Dataset, key: str, ts_col: str, gap_us: int,
              count_as: "sum", **{c: "sum" for c in sums}})
         return agg.drop(columns=["session_id"])
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([sessions(sub) for _, sub in g.groupby(key, sort=False)],
+                         ignore_index=True)
+
+    return bucketed_groupby(ds, [key], per_bucket)

@@ -243,6 +243,39 @@ class AudioEnergy(StreamOpSpec):
             state["peak_q"] = max(state["peak_q"], int(round(peak * self._Q)))
         return state
 
+    def update_table(self, state: dict, t) -> dict:
+        """Vectorized path: zero-copy PCM views over the Arrow binary
+        buffer (no per-row bytes materialization)."""
+        import pyarrow as pa
+
+        col = t["bytes"]
+        if col.num_chunks == 1:
+            ba = col.chunk(0)
+        elif col.num_chunks == 0:
+            return state
+        else:
+            ba = pa.concat_arrays(col.chunks)
+        bufs = ba.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[ba.offset:ba.offset + len(ba) + 1]
+        vals = np.frombuffer(bufs[2], dtype=np.uint8)
+        codecs = t["codec"].to_pylist()
+        for i, codec in enumerate(codecs):
+            seg = vals[offs[i]:offs[i + 1]]
+            if codec == "pcm16":
+                pcm = seg.view("<i2").astype(np.float32) / 32767.0
+            elif codec == "ulaw":
+                y = seg.astype(np.float32) / 127.5 - 1.0
+                pcm = np.sign(y) * np.expm1(np.abs(y) * np.log1p(255.0)) / 255.0
+            else:
+                pcm = decode_clip(seg.tobytes(), codec)
+            state["n_clips"] += 1
+            state["n_samples"] += pcm.size
+            sumsq = float(np.sum(np.square(pcm, dtype=np.float64)))
+            state["sumsq_q"] += int(round(sumsq * self._Q))
+            peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+            state["peak_q"] = max(state["peak_q"], int(round(peak * self._Q)))
+        return state
+
     def finish(self, key, window, state) -> dict:
         n = state["n_samples"]
         rms_val = np.sqrt(state["sumsq_q"] / self._Q / n) if n else 0.0

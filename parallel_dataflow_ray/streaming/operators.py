@@ -60,6 +60,10 @@ class WindowedAggregateOp:
         if table.num_rows == 0:
             return
         spec = self.spec
+        if (spec.incremental and hasattr(spec, "update_table")
+                and self.assigner.kind == "tumbling"):
+            self._apply_vectorized(table, wm_prev)
+            return
         key_col = table[spec.key_column].to_pylist()
         ts = table[self.ts_column].cast(pa.int64()).to_numpy()
         windows = self.assigner.assign_many(ts)
@@ -88,6 +92,45 @@ class WindowedAggregateOp:
                 buf = self.states[kw]
                 for row in grp:
                     buf[row["offset"]] = row  # offset-keyed -> idempotent re-ingest
+
+    def _apply_vectorized(self, table: pa.Table, wm_prev: int) -> None:
+        """Tumbling fast path for incremental specs exposing
+        ``update_table``: numpy grouping by (key, window) + one Arrow
+        slice per group — no per-row dict conversion in the hot loop."""
+        import heapq as _hq
+        import numpy as np
+        import pandas as pd
+
+        spec = self.spec
+        n = table.num_rows
+        self.rows_seen += n
+        ts = table[self.ts_column].cast(pa.int64()).to_numpy()
+        size = self.assigner.size_us
+        ws = (ts // size) * size
+        keys = table[spec.key_column].to_pylist()
+        kcodes, kuniq = pd.factorize(np.asarray(keys, dtype=object))
+        order = np.lexsort((ws, kcodes))
+        kc_s, ws_s = kcodes[order], ws[order]
+        sorted_tbl = table.take(pa.array(order))
+        # run boundaries where (key, window) changes
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.logical_or(np.diff(kc_s) != 0, np.diff(ws_s) != 0, out=change[1:])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            w = (int(ws_s[s]), int(ws_s[s]) + size)
+            if wm_prev >= w[1]:
+                self.late_rows += int(e - s)
+                continue
+            key = kuniq[kc_s[s]]
+            kw = (key, w)
+            if kw not in self.states:
+                self.states[kw] = spec.initial_state()
+                _hq.heappush(self.heap, (w[1], key, w))
+                self.live.add(kw)
+            self.states[kw] = spec.update_table(self.states[kw],
+                                                sorted_tbl.slice(s, e - s))
 
     def on_watermark(self, wm: int) -> list[dict]:
         rows, partials = self.on_watermark_split(wm)
