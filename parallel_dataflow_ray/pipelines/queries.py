@@ -150,6 +150,60 @@ def props_k_by_type(sf_dir: str):
     return rel.grouped_sum(ds, ["event_type"], ["sum_k"], count_as="n_events")
 
 
+def union_orders(sf_dir: str):
+    """Dataset.union coverage: two disjoint filters recombined."""
+    hi = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+                    filter=(pc.field("o_totalprice") > 400000.0))
+    lo = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+                    filter=(pc.field("o_totalprice") < 5000.0))
+
+    def proj(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"], "total_cents": pa.array(c)})
+
+    return hi.union(lo).map_batches(proj, batch_format="pyarrow")
+
+
+def asof_signup_before_error(sf_dir: str):
+    """As-of join: for each error event, the latest signup event of the
+    same user at or before it (inner).  Ray: bucketed merge_asof;
+    oracle: DuckDB native ASOF JOIN."""
+    from ..stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                               "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "eu": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"]})
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error"))
+                   .select(["event_id", "user_id", "eu"]),
+        batch_format="pyarrow")
+    signups = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup"))
+                   .select(["event_id", "user_id", "eu"]),
+        batch_format="pyarrow")
+
+    # unique (user, eu) on the right: keep max event_id (tie-kill, so the
+    # as-of pick is deterministic on both sides)
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "eu"], as_index=False)["event_id"].max()
+
+    signups = rel.bucketed_groupby(signups, ["user_id"], uniq)
+    signups = signups.map_batches(
+        lambda b: b.rename(columns={"event_id": "signup_event_id"}),
+        batch_format="pandas")
+    joined = asof_join(errors, signups, key="user_id", ts="eu",
+                       right_values=["signup_event_id"], suffix="")
+    out = joined.to_pandas().dropna(subset=["signup_event_id"])
+    out["signup_event_id"] = out["signup_event_id"].astype("int64")
+    return out[["event_id", "user_id", "signup_event_id"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # windowed analytics over events
 # ---------------------------------------------------------------------------
@@ -369,6 +423,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_high_value": filter_high_value,
     "q3_top_orders": q3_top_orders,
+    "union_orders": union_orders,
+    "asof_signup_before_error": asof_signup_before_error,
     "broadcast_region_count": broadcast_region_count,
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
@@ -422,6 +478,21 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate < TIMESTAMP '1995-03-15'
   AND l.l_shipdate  > TIMESTAMP '1995-03-15'
 GROUP BY 1 ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+""",
+    "union_orders": """
+SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+FROM orders WHERE o_totalprice < 5000
+""",
+    "asof_signup_before_error": """
+WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS eu FROM events
+             WHERE event_type = 'error'),
+sig AS (SELECT MAX(event_id) AS signup_event_id, user_id, epoch_us(ts) AS eu
+        FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts))
+SELECT e.event_id, e.user_id, s.signup_event_id
+FROM err e ASOF JOIN sig s ON e.user_id = s.user_id AND e.eu >= s.eu
 """,
     "broadcast_region_count": """
 SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers

@@ -57,9 +57,19 @@ END_WM = 2**62
 
 
 @ray.remote
-def _split_block(table: pa.Table, key_column: str, num_partitions: int,
-                 salted_keys: dict | None):
-    """Stateless shuffle-map task: one input block -> P hash shards."""
+def _split_block(source, key_column: str, num_partitions: int,
+                 salted_keys: dict | None, columns: list | None = None):
+    """Stateless shuffle-map task: one input block (in-memory table or a
+    parquet fragment descriptor — read HERE, so ingest I/O scales with
+    the cluster) -> P hash shards."""
+    from .partitioning import load_epoch
+
+    table = load_epoch(source)
+    if columns:
+        keep = [c for c in columns if c in table.column_names]
+        if "__stream" in table.column_names:
+            keep.append("__stream")
+        table = table.select(keep)
     shards = split_by_partition(table, key_column, num_partitions,
                                 salted_keys=salted_keys)
     if num_partitions == 1:
@@ -103,6 +113,7 @@ class PartitionWorker:
         # ray.get is zero-copy for Arrow tables in the local object store.
         if shards and isinstance(shards[0], ray.ObjectRef):
             shards = ray.get(list(shards))
+        self._wait_s = self._time.perf_counter() - t0
         for shard in shards:
             if shard.num_rows:
                 mo = pc.max(shard["offset"]).as_py()
@@ -116,6 +127,20 @@ class PartitionWorker:
         self._pending.extend(rows)
         self._ingest_s = self._time.perf_counter() - t0
         return partials
+
+    def process_epoch(self, epoch: int, wm_prev: int, wm: int, shards: list,
+                      *, checkpoint: bool, collect: bool,
+                      commit: bool = True) -> dict:
+        """Single-phase superstep (no salted keys): ingest + close +
+        commit in one actor call.  Lets the driver pipeline epochs —
+        actor message order guarantees per-partition epoch order, so no
+        driver barrier is needed between epochs."""
+        partials = self.ingest_epoch(epoch, wm_prev, wm, shards)
+        groups: dict = {}
+        for key, w_, s in partials:  # only non-empty if salting misused
+            groups.setdefault((key, w_), []).append(s)
+        return self.finalize_epoch(epoch, wm, groups, checkpoint=checkpoint,
+                                   collect=collect, commit=commit)
 
     def finalize_epoch(self, epoch: int, wm: int, partial_groups: dict,
                        *, checkpoint: bool, collect: bool,
@@ -136,7 +161,8 @@ class PartitionWorker:
             self.ckpt.save(epoch, self.op.snapshot(), wm, self.max_offset)
         out = {"partition": self.partition, "epoch": epoch,
                "emitted": len(emitted), "late_rows": self.op.late_rows,
-               "rows_seen": self.op.rows_seen, "elapsed_s": elapsed}
+               "rows_seen": self.op.rows_seen, "elapsed_s": elapsed,
+               "wait_s": getattr(self, "_wait_s", 0.0)}
         if collect:
             out["emitted_rows"] = emitted
         return out
@@ -169,6 +195,13 @@ class StreamEngine:
                           else op_kwargs.get("key_column", "clip_id"))
         self.key_column = key_column
         self.actor_num_cpus = actor_num_cpus
+        #: unsalted epochs pipeline through the actors with this many
+        #: in-flight (bounded for backpressure); per-actor message order
+        #: keeps per-partition epoch order correct
+        self.pipeline_depth = 4
+        #: shuffle-map tasks are launched this many epochs ahead of the
+        #: actor pipeline so ingest never waits on a split
+        self.split_prefetch = 8
         self.salted_keys = dict(salted_keys) if salted_keys else None
         if self.op_kind != "window" and self.salted_keys:
             raise ValueError("salted_keys currently applies to the windowed "
@@ -180,10 +213,12 @@ class StreamEngine:
         self.shuffle_columns = shuffle_columns
 
     # -- watermark schedule: pure function of (input, framing, lateness) --
-    def _schedule(self, epochs: list[pa.Table], ts_column: str) -> list[int]:
+    def _schedule(self, epochs: list, ts_column: str) -> list[int]:
         wms, mx = [], MIN_TS
         for t in epochs:
-            if t.num_rows:
+            if isinstance(t, dict):  # fragment descriptor: footer stats
+                mx = max(mx, t["max_ts_us"])
+            elif t.num_rows:
                 m = pc.max(t[ts_column].cast(pa.int64())).as_py()
                 mx = max(mx, m)
             wms.append(mx - self.lateness if mx != MIN_TS else MIN_TS)
@@ -201,6 +236,19 @@ class StreamEngine:
         automatic when the checkpoint root holds a complete epoch.
         """
         wm_sched = self._schedule(epochs, ts_column)
+        if self.P == 0:
+            # adaptive dispatch (the MixedExecutor analog, reference
+            # impls/src/mixed.rs:32-38): tiny streams run on one
+            # partition (no shuffle/actor overhead), large ones fan out.
+            # Unlike the reference's per-CFG block-count threshold (which
+            # the blog found could LOSE, blog/blog.md:70) this keys on
+            # total rows vs a per-partition floor, so parallelism never
+            # exceeds useful work.
+            total = sum(t["rows"] if isinstance(t, dict) else t.num_rows
+                        for t in epochs)
+            import ray as _ray
+            cpus = int(_ray.cluster_resources().get("CPU", 4))
+            self.P = max(1, min(cpus, total // 2000)) if total >= 4000 else 1
         workers = [
             PartitionWorker.options(num_cpus=self.actor_num_cpus)
             .remote(p, self.op_kind, self.op_kwargs, self.sink_root,
@@ -217,22 +265,50 @@ class StreamEngine:
 
         per_epoch_emitted: list[list[dict]] = []
         metrics: list[dict] = []
+        inflight: list[tuple[int, list]] = []  # pipelined (epoch, futures)
+
+        def drain(upto: int) -> None:
+            while len(inflight) > upto:
+                _, fs = inflight.pop(0)
+                self._absorb(ray.get(fs), collect, per_epoch_emitted, metrics)
+
         try:
-            for e in range(start_epoch, len(epochs)):
-                if stop_after_epoch is not None and e > stop_after_epoch:
-                    break
+            schedule = list(range(start_epoch, len(epochs)))
+            if stop_after_epoch is not None:
+                schedule = [e for e in schedule if e <= stop_after_epoch]
+            split_cache: dict[int, list] = {}  # epoch -> per-part shard refs
+            for i, e in enumerate(schedule):
                 is_last = (stop_after_epoch is not None and e == stop_after_epoch)
-                self._superstep(
-                    e, epochs[e],
-                    wm_sched[e - 1] if e > 0 else MIN_TS, wm_sched[e],
-                    workers, collect, per_epoch_emitted, metrics,
-                    commit_partitions if is_last else None)
+                cp = commit_partitions if is_last else None
+                wm_prev = wm_sched[e - 1] if e > 0 else MIN_TS
+                # prefetch shuffle-map tasks ahead of the actor pipeline so
+                # actors never stall waiting for a split
+                for ee in schedule[i:i + self.split_prefetch]:
+                    if ee not in split_cache:
+                        split_cache[ee] = self._split_epoch(epochs[ee])
+                per_part = split_cache.pop(e)
+                if self.salted_keys:
+                    # two-phase path needs a barrier to route partials
+                    drain(0)
+                    self._superstep(e, per_part, wm_prev, wm_sched[e],
+                                    workers, collect, per_epoch_emitted,
+                                    metrics, cp)
+                else:
+                    # pipelined path: per-actor message order already
+                    # serializes epochs per partition; keep a bounded
+                    # in-flight window for backpressure
+                    futs = self._launch_epoch(e, per_part, wm_prev,
+                                              wm_sched[e], workers, collect, cp)
+                    inflight.append((e, futs))
+                    drain(self.pipeline_depth)
+            drain(0)
             if final_flush and stop_after_epoch is None:
                 # end-of-stream: watermark -> +inf closes every open window
                 # (the fixpoint-termination analog: the frontier empties)
                 wm_last = wm_sched[-1] if wm_sched else MIN_TS
-                self._superstep(len(epochs), None, wm_last, END_WM, workers,
-                                collect, per_epoch_emitted, metrics, None)
+                self._superstep(len(epochs), self._split_epoch(None), wm_last,
+                                END_WM, workers, collect, per_epoch_emitted,
+                                metrics, None)
         finally:
             for w in workers:
                 ray.kill(w, no_restart=True)
@@ -240,27 +316,53 @@ class StreamEngine:
                 "metrics": metrics, "start_epoch": start_epoch,
                 "watermarks": wm_sched}
 
-    def _superstep(self, e: int, table: pa.Table | None, wm_prev: int, wm: int,
+    def _split_epoch(self, source) -> list[list]:
+        per_part: list[list] = [[] for _ in range(self.P)]
+        if source is None:
+            return per_part
+        if isinstance(source, dict):
+            blocks = [source]  # fragment: the split task reads it itself
+        elif source.num_rows == 0:
+            return per_part
+        else:
+            blocks = self._blocks(source)
+        split_refs = [
+            _split_block.options(num_returns=1 if self.P == 1 else self.P)
+            .remote(b, self.key_column, self.P, self.salted_keys,
+                    self.shuffle_columns)
+            for b in blocks
+        ]
+        for refs in split_refs:
+            if self.P == 1:
+                per_part[0].append(refs)
+            else:
+                for p, r in enumerate(refs):
+                    per_part[p].append(r)
+        return per_part
+
+    def _launch_epoch(self, e: int, per_part: list[list], wm_prev: int,
+                      wm: int, workers, collect, commit_partitions) -> list:
+        futs = []
+        for p, w in enumerate(workers):
+            commit = True if commit_partitions is None else (p in commit_partitions)
+            futs.append(w.process_epoch.remote(
+                e, wm_prev, wm, per_part[p],
+                checkpoint=(e % self.ckpt_interval == self.ckpt_interval - 1),
+                collect=collect, commit=commit))
+        return futs
+
+    def _absorb(self, results, collect, per_epoch_emitted, metrics) -> None:
+        metrics.extend({k: v for k, v in r.items() if k != "emitted_rows"}
+                       for r in results)
+        if collect:
+            rows = [row for r in results for row in r.get("emitted_rows", [])]
+            per_epoch_emitted.append(canonical_sort(rows))
+
+    def _superstep(self, e: int, per_part: list[list], wm_prev: int, wm: int,
                    workers, collect, per_epoch_emitted, metrics,
                    commit_partitions) -> None:
-        per_part: list[list] = [[] for _ in range(self.P)]
-        if table is not None and table.num_rows:
-            if self.shuffle_columns:
-                cols = [c for c in self.shuffle_columns if c in table.column_names]
-                if "__stream" in table.column_names:
-                    cols.append("__stream")
-                table = table.select(cols)
-            split_refs = [
-                _split_block.options(num_returns=1 if self.P == 1 else self.P)
-                .remote(b, self.key_column, self.P, self.salted_keys)
-                for b in self._blocks(table)
-            ]
-            for refs in split_refs:
-                if self.P == 1:
-                    per_part[0].append(refs)
-                else:
-                    for p, r in enumerate(refs):
-                        per_part[p].append(r)
+        """Barrier superstep (salted path): ingest -> route partials to
+        owners -> finalize."""
         # phase 1: ingest + close; collect partial states of salted keys
         partials_nested = ray.get([
             w.ingest_epoch.remote(e, wm_prev, wm, per_part[p])
@@ -279,12 +381,7 @@ class StreamEngine:
                 e, wm, owner_groups[p],
                 checkpoint=(e % self.ckpt_interval == self.ckpt_interval - 1),
                 collect=collect, commit=commit))
-        results = ray.get(futs)
-        metrics.extend({k: v for k, v in r.items() if k != "emitted_rows"}
-                       for r in results)
-        if collect:
-            rows = [row for r in results for row in r.get("emitted_rows", [])]
-            per_epoch_emitted.append(canonical_sort(rows))
+        self._absorb(ray.get(futs), collect, per_epoch_emitted, metrics)
 
     @staticmethod
     def _blocks(table: pa.Table, target_rows: int = 8192) -> list[pa.Table]:

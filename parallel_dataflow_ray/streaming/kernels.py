@@ -285,8 +285,113 @@ class AudioEnergy(StreamOpSpec):
                 "peak_milli": int(round(1000 * state["peak_q"] / self._Q))}
 
 
+def _decode_segments(t):
+    """(offsets, values, codecs) zero-copy views over an Arrow binary col."""
+    import pyarrow as pa
+
+    col = t["bytes"]
+    if col.num_chunks == 1:
+        ba = col.chunk(0)
+    elif col.num_chunks == 0:
+        return None
+    else:
+        ba = pa.concat_arrays(col.chunks)
+    bufs = ba.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[ba.offset:ba.offset + len(ba) + 1]
+    vals = np.frombuffer(bufs[2], dtype=np.uint8)
+    return offs, vals, t["codec"].to_pylist()
+
+
+def _pcm_of(seg: np.ndarray, codec: str) -> np.ndarray:
+    if codec == "pcm16":
+        return seg.view("<i2").astype(np.float32) / 32767.0
+    if codec == "ulaw":
+        y = seg.astype(np.float32) / 127.5 - 1.0
+        return np.sign(y) * np.expm1(np.abs(y) * np.log1p(255.0)) / 255.0
+    return decode_clip(seg.tobytes(), codec)
+
+
+class AudioSpectral(StreamOpSpec):
+    """Flagship compute kernel: framed power-spectrum features per clip,
+    aggregated per (speaker, window).
+
+    Per clip: 1024-sample frames, hop 512, Hann window, rfft -> mean
+    power spectrum -> spectral centroid (Hz-normalized) + 4 log-band
+    energies.  Representative of real audio featurization cost (the
+    kind of per-record compute a 100 TB pipeline actually pays), and
+    every per-clip contribution is integer-quantized before summation,
+    so the aggregate is bit-exact under any fold/merge order.
+    """
+
+    name = "audio_spectral"
+    key_column = "speaker_id"
+    value_columns = ("bytes", "codec")
+    _Q = 1 << 20
+    _FRAME, _HOP = 1024, 512
+
+    def __init__(self):
+        self._hann = np.hanning(self._FRAME).astype(np.float32)
+
+    def initial_state(self) -> dict:
+        return {"n_clips": 0, "n_frames": 0, "centroid_q": 0,
+                "band_q": [0, 0, 0, 0]}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        return {"n_clips": a["n_clips"] + b["n_clips"],
+                "n_frames": a["n_frames"] + b["n_frames"],
+                "centroid_q": a["centroid_q"] + b["centroid_q"],
+                "band_q": [x + y for x, y in zip(a["band_q"], b["band_q"])]}
+
+    def _clip_features(self, pcm: np.ndarray) -> tuple[int, int, list[int]]:
+        F, H = self._FRAME, self._HOP
+        if pcm.size < F:
+            pcm = np.pad(pcm, (0, F - pcm.size))
+        frames = np.lib.stride_tricks.sliding_window_view(pcm, F)[::H]
+        spec = np.abs(np.fft.rfft(frames * self._hann, axis=1)) ** 2
+        psd = spec.mean(axis=0, dtype=np.float64)
+        total = float(psd.sum()) or 1.0
+        freqs = np.arange(psd.size) / psd.size
+        centroid = float((freqs * psd).sum() / total)
+        edges = [0, 8, 32, 128, psd.size]
+        bands = [float(psd[edges[i]:edges[i + 1]].sum() / total) for i in range(4)]
+        return (len(frames), int(round(centroid * self._Q)),
+                [int(round(b * self._Q)) for b in bands])
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        for r in rows:
+            pcm = decode_clip(r["bytes"], r["codec"])
+            nf, cq, bq = self._clip_features(pcm)
+            state["n_clips"] += 1
+            state["n_frames"] += nf
+            state["centroid_q"] += cq
+            state["band_q"] = [x + y for x, y in zip(state["band_q"], bq)]
+        return state
+
+    def update_table(self, state: dict, t) -> dict:
+        seg = _decode_segments(t)
+        if seg is None:
+            return state
+        offs, vals, codecs = seg
+        for i, codec in enumerate(codecs):
+            pcm = _pcm_of(vals[offs[i]:offs[i + 1]], codec)
+            nf, cq, bq = self._clip_features(pcm)
+            state["n_clips"] += 1
+            state["n_frames"] += nf
+            state["centroid_q"] += cq
+            state["band_q"] = [x + y for x, y in zip(state["band_q"], bq)]
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        n = state["n_clips"] or 1
+        return {"key": key, **_fmt_window(window),
+                "n_clips": state["n_clips"], "n_frames": state["n_frames"],
+                "centroid_milli": int(round(1000 * state["centroid_q"] / self._Q / n)),
+                **{f"band{i}_milli": int(round(1000 * state["band_q"][i] / self._Q / n))
+                   for i in range(4)}}
+
+
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, ReverseLiveWords, MetaConstants, CommonWords,
-     ClipStats, AudioEnergy)
+     ClipStats, AudioEnergy, AudioSpectral)
 }

@@ -46,8 +46,11 @@ class OracleExecutor:
         ``final_flush`` appends a virtual end-of-stream epoch with
         watermark = +inf (the fixpoint-termination analog: worklist
         empty -> every remaining window closes and emits)."""
+        from .partitioning import load_epoch
+
         emitted: list[dict] = []
-        for epoch_idx, table in enumerate(epochs):
+        for epoch_idx, source in enumerate(epochs):
+            table = load_epoch(source)
             wm_prev = self.clock.watermark
             if table.num_rows:
                 # row-at-a-time, arrival order — the "FIFO worklist" spirit

@@ -82,9 +82,60 @@ def detect_hot_keys(table: pa.Table, key_column: str, *,
 
 
 def epochs_from_table(table: pa.Table, epoch_rows: int) -> list[pa.Table]:
-    """Cut an arrival-ordered table into fixed-size epochs."""
+    """Cut an arrival-ordered table into fixed-size epochs (driver-held
+    tables; fine for tests/small streams — at scale use
+    :func:`parquet_epochs` so rows never pass through the driver)."""
     assert epoch_rows > 0
     return [table.slice(i, epoch_rows) for i in range(0, table.num_rows, epoch_rows)]
+
+
+def parquet_epochs(dir_path: str, ts_column: str = "event_ts",
+                   offset_column: str = "offset") -> list[dict]:
+    """Frame a directory of parquet fragments as epochs using ONLY footer
+    metadata: one epoch per file, ordered by the fragment's min offset
+    (arrival order).  The driver never touches row data — split tasks
+    read their fragment directly, so ingest bandwidth scales with the
+    cluster, not the driver.  This mirrors the production layout: an
+    epoch == a Lance/parquet fragment of the append-only stream log.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    epochs = []
+    for name in os.listdir(dir_path):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(dir_path, name)
+        md = pq.ParquetFile(path).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ts_i = schema_names.index(ts_column)
+        off_i = schema_names.index(offset_column)
+        max_ts, min_off = None, None
+        for rg in range(md.num_row_groups):
+            ts_stats = md.row_group(rg).column(ts_i).statistics
+            off_stats = md.row_group(rg).column(off_i).statistics
+            if ts_stats is None or off_stats is None:
+                raise ValueError(f"{path}: missing column statistics")
+            mx = ts_stats.max
+            if hasattr(mx, "timestamp"):
+                mx = int(mx.timestamp() * 1_000_000)
+            max_ts = mx if max_ts is None else max(max_ts, mx)
+            mo = off_stats.min
+            min_off = mo if min_off is None else min(min_off, mo)
+        epochs.append({"path": path, "rows": md.num_rows,
+                       "max_ts_us": int(max_ts), "min_offset": int(min_off)})
+    epochs.sort(key=lambda e: e["min_offset"])
+    return epochs
+
+
+def load_epoch(source) -> pa.Table:
+    """Resolve an epoch source (in-memory table or fragment descriptor)."""
+    if isinstance(source, pa.Table):
+        return source
+    import pyarrow.parquet as pq
+
+    return pq.read_table(source["path"])
 
 
 def interleave_streams(left: pa.Table, right: pa.Table) -> pa.Table:
