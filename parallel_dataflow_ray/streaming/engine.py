@@ -56,12 +56,11 @@ from .operators import make_operator
 END_WM = 2**62
 
 
-@ray.remote
-def _split_block(source, key_column: str, num_partitions: int,
-                 salted_keys: dict | None, columns: list | None = None):
-    """Stateless shuffle-map task: one input block (in-memory table or a
-    parquet fragment descriptor — read HERE, so ingest I/O scales with
-    the cluster) -> P hash shards."""
+def _do_split(source, key_column: str, num_partitions: int,
+              salted_keys: dict | None, columns: list | None = None):
+    """Shuffle-map body: one input block (in-memory table or a parquet
+    fragment descriptor — read HERE, so ingest I/O scales with the
+    cluster) -> P hash shards."""
     from .partitioning import load_epoch
 
     table = load_epoch(source)
@@ -77,6 +76,28 @@ def _split_block(source, key_column: str, num_partitions: int,
     return tuple(shards)
 
 
+@ray.remote
+def _split_block(source, key_column, num_partitions, salted_keys,
+                 columns=None):
+    """Stateless task variant (kept for one-shot runs)."""
+    return _do_split(source, key_column, num_partitions, salted_keys, columns)
+
+
+@ray.remote(num_cpus=0)
+class SplitWorker:
+    """Long-lived shuffle-map worker.  Splits run on a persistent actor
+    pool rather than stateless tasks: Ray culls idle TASK workers beyond
+    the CPU soft limit, and respawning them (process fork + imports) in
+    the middle of a stream showed up as multi-second ingest stalls.
+    Long-lived map-side workers are also the production shape — the
+    reader processes of a streaming source are pinned, not ephemeral."""
+
+    def split(self, source, key_column, num_partitions, salted_keys,
+              columns=None):
+        return _do_split(source, key_column, num_partitions, salted_keys,
+                         columns)
+
+
 @ray.remote(num_cpus=0.25)
 class PartitionWorker:
     """One hash partition's stateful executor: operator + sink + ckpt."""
@@ -90,6 +111,7 @@ class PartitionWorker:
         if op_kind == "window" and partial_keys:
             op_kwargs = dict(op_kwargs, partial_keys=partial_keys)
         self.op_kind = op_kind
+        self._op_kwargs = op_kwargs
         self.op = make_operator(op_kind, **op_kwargs)
         self.sink = ExactlyOnceSink(sink_root, partition) if sink_root else None
         self.ckpt = CheckpointStore(ckpt_root, partition) if ckpt_root else None
@@ -102,6 +124,17 @@ class PartitionWorker:
         self.op.restore(d["op"])
         self.max_offset = d["max_offset"]
         return epoch
+
+    def reset(self, sink_root: str | None, ckpt_root: str | None) -> None:
+        """Fresh stream on the same (warm) process: rebuild operator state
+        and re-point sink/checkpoint roots."""
+        self.op = make_operator(self.op_kind, **self._op_kwargs)
+        self.sink = (ExactlyOnceSink(sink_root, self.partition)
+                     if sink_root else None)
+        self.ckpt = (CheckpointStore(ckpt_root, self.partition)
+                     if ckpt_root else None)
+        self.max_offset = -1
+        self._pending = []
 
     def ingest_epoch(self, epoch: int, wm_prev: int, wm: int,
                      shards: list) -> list[tuple]:
@@ -202,6 +235,13 @@ class StreamEngine:
         #: shuffle-map tasks are launched this many epochs ahead of the
         #: actor pipeline so ingest never waits on a split
         self.split_prefetch = 8
+        #: keep the actor pool alive across run() calls (long-lived
+        #: production actors; avoids paying worker-process spawn + import
+        #: on every stream) — pair with reset_state() between streams
+        self.keep_workers = False
+        self._workers = None
+        self._splitters: list = []
+        self._split_rr = 0
         self.salted_keys = dict(salted_keys) if salted_keys else None
         if self.op_kind != "window" and self.salted_keys:
             raise ValueError("salted_keys currently applies to the windowed "
@@ -236,7 +276,8 @@ class StreamEngine:
         automatic when the checkpoint root holds a complete epoch.
         """
         wm_sched = self._schedule(epochs, ts_column)
-        if self.P == 0:
+        reuse = self._workers is not None
+        if not reuse and self.P == 0:
             # adaptive dispatch (the MixedExecutor analog, reference
             # impls/src/mixed.rs:32-38): tiny streams run on one
             # partition (no shuffle/actor overhead), large ones fan out.
@@ -249,15 +290,26 @@ class StreamEngine:
             import ray as _ray
             cpus = int(_ray.cluster_resources().get("CPU", 4))
             self.P = max(1, min(cpus, total // 2000)) if total >= 4000 else 1
-        workers = [
-            PartitionWorker.options(num_cpus=self.actor_num_cpus)
-            .remote(p, self.op_kind, self.op_kwargs, self.sink_root,
-                    self.ckpt_root,
-                    frozenset(self.salted_keys) if self.salted_keys else frozenset())
-            for p in range(self.P)
-        ]
+        if reuse:
+            # persistent pool (long-lived actors — the production shape):
+            # same processes, state freshly reset via reset_state()
+            workers = self._workers
+        else:
+            workers = [
+                PartitionWorker.options(num_cpus=self.actor_num_cpus)
+                .remote(p, self.op_kind, self.op_kwargs, self.sink_root,
+                        self.ckpt_root,
+                        frozenset(self.salted_keys) if self.salted_keys else frozenset())
+                for p in range(self.P)
+            ]
+            # zero-CPU actors: concurrency is bounded by the pool size, and
+            # a zero logical footprint can never deadlock against the
+            # partition actors' reservations on a small node
+            n_split = max(2, min(self.split_prefetch, self.P))
+            self._splitters = [SplitWorker.remote() for _ in range(n_split)]
+            self._split_rr = 0
         start_epoch = 0
-        if self.ckpt_root:
+        if self.ckpt_root and not reuse:
             re = CheckpointStore.resume_epoch(self.ckpt_root, self.P)
             if re is not None:
                 ray.get([w.restore.remote(re) for w in workers])
@@ -310,28 +362,55 @@ class StreamEngine:
                                 END_WM, workers, collect, per_epoch_emitted,
                                 metrics, None)
         finally:
-            for w in workers:
-                ray.kill(w, no_restart=True)
+            if self.keep_workers:
+                self._workers = workers
+            else:
+                for w in workers + self._splitters:
+                    ray.kill(w, no_restart=True)
+                self._splitters = []
         return {"emitted": per_epoch_emitted if collect else None,
                 "metrics": metrics, "start_epoch": start_epoch,
                 "watermarks": wm_sched}
+
+    def reset_state(self, new_sink_root: str | None = None,
+                    new_ckpt_root: str | None = None) -> None:
+        """Reset operator state on a persistent pool (fresh stream, same
+        processes).  Optionally point the pool at new sink/ckpt roots."""
+        if self._workers is None:
+            return
+        if new_sink_root is not None:
+            self.sink_root = new_sink_root
+        if new_ckpt_root is not None:
+            self.ckpt_root = new_ckpt_root
+        ray.get([w.reset.remote(self.sink_root, self.ckpt_root)
+                 for w in self._workers])
+
+    def close(self) -> None:
+        if self._workers is not None:
+            for w in self._workers + self._splitters:
+                ray.kill(w, no_restart=True)
+            self._workers = None
+            self._splitters = []
 
     def _split_epoch(self, source) -> list[list]:
         per_part: list[list] = [[] for _ in range(self.P)]
         if source is None:
             return per_part
         if isinstance(source, dict):
-            blocks = [source]  # fragment: the split task reads it itself
+            blocks = [source]  # fragment: the split worker reads it itself
         elif source.num_rows == 0:
             return per_part
         else:
             blocks = self._blocks(source)
-        split_refs = [
-            _split_block.options(num_returns=1 if self.P == 1 else self.P)
-            .remote(b, self.key_column, self.P, self.salted_keys,
-                    self.shuffle_columns)
-            for b in blocks
-        ]
+        nr = 1 if self.P == 1 else self.P
+        split_refs = []
+        for b in blocks:
+            s = self._splitters[self._split_rr % len(self._splitters)]
+            self._split_rr += 1
+            split_refs.append(
+                s.split.options(num_returns=nr)
+                .remote(b, self.key_column, self.P, self.salted_keys,
+                        self.shuffle_columns))
         for refs in split_refs:
             if self.P == 1:
                 per_part[0].append(refs)

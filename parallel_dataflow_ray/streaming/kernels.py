@@ -327,22 +327,39 @@ class AudioSpectral(StreamOpSpec):
     key_column = "speaker_id"
     value_columns = ("bytes", "codec")
     _Q = 1 << 20
-    _FRAME, _HOP = 1024, 512
+    _FRAME, _HOP = 1024, 128
+    _N_MEL = 24
 
     def __init__(self):
         self._hann = np.hanning(self._FRAME).astype(np.float32)
+        # triangular mel-ish filterbank over the rfft bins (built once —
+        # actor-held state, the "compile in __init__" rule)
+        n_bins = self._FRAME // 2 + 1
+        edges = np.unique(np.geomspace(2, n_bins - 1, self._N_MEL + 2).astype(int))
+        while edges.size < self._N_MEL + 2:
+            edges = np.unique(np.append(edges, edges[-1] + 1))
+        fb = np.zeros((self._N_MEL, n_bins))
+        for m in range(self._N_MEL):
+            lo, mid, hi = edges[m], edges[m + 1], edges[m + 2]
+            if mid > lo:
+                fb[m, lo:mid] = np.linspace(0, 1, mid - lo, endpoint=False)
+            if hi > mid:
+                fb[m, mid:hi] = np.linspace(1, 0, hi - mid, endpoint=False)
+        self._fb = fb
 
     def initial_state(self) -> dict:
-        return {"n_clips": 0, "n_frames": 0, "centroid_q": 0,
-                "band_q": [0, 0, 0, 0]}
+        return {"n_clips": 0, "n_frames": 0, "centroid_q": 0, "zcr_q": 0,
+                "band_q": [0] * 4, "mel_q": [0] * self._N_MEL}
 
     def merge(self, a: dict, b: dict) -> dict:
         return {"n_clips": a["n_clips"] + b["n_clips"],
                 "n_frames": a["n_frames"] + b["n_frames"],
                 "centroid_q": a["centroid_q"] + b["centroid_q"],
-                "band_q": [x + y for x, y in zip(a["band_q"], b["band_q"])]}
+                "zcr_q": a["zcr_q"] + b["zcr_q"],
+                "band_q": [x + y for x, y in zip(a["band_q"], b["band_q"])],
+                "mel_q": [x + y for x, y in zip(a["mel_q"], b["mel_q"])]}
 
-    def _clip_features(self, pcm: np.ndarray) -> tuple[int, int, list[int]]:
+    def _clip_features(self, pcm: np.ndarray):
         F, H = self._FRAME, self._HOP
         if pcm.size < F:
             pcm = np.pad(pcm, (0, F - pcm.size))
@@ -354,17 +371,34 @@ class AudioSpectral(StreamOpSpec):
         centroid = float((freqs * psd).sum() / total)
         edges = [0, 8, 32, 128, psd.size]
         bands = [float(psd[edges[i]:edges[i + 1]].sum() / total) for i in range(4)]
+        # per-frame mel trajectory + temporal delta (the MFCC-ish shape a
+        # real featurizer computes) — then clip-level summary
+        mel_frames = np.log1p(spec.astype(np.float64) @ self._fb.T)
+        mel = mel_frames.mean(axis=0)
+        tot = float(mel.sum()) or 1.0
+        mel = mel / tot
+        if mel_frames.shape[0] > 1:
+            delta = float(np.abs(np.diff(mel_frames, axis=0)).mean())
+        else:
+            delta = 0.0
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8))), dtype=np.float64))
         return (len(frames), int(round(centroid * self._Q)),
-                [int(round(b * self._Q)) for b in bands])
+                int(round((zcr + delta) * self._Q)),
+                [int(round(b * self._Q)) for b in bands],
+                [int(round(float(m) * self._Q)) for m in mel])
+
+    def _fold(self, state: dict, pcm: np.ndarray) -> None:
+        nf, cq, zq, bq, mq = self._clip_features(pcm)
+        state["n_clips"] += 1
+        state["n_frames"] += nf
+        state["centroid_q"] += cq
+        state["zcr_q"] += zq
+        state["band_q"] = [x + y for x, y in zip(state["band_q"], bq)]
+        state["mel_q"] = [x + y for x, y in zip(state["mel_q"], mq)]
 
     def update(self, state: dict, rows: list[dict]) -> dict:
         for r in rows:
-            pcm = decode_clip(r["bytes"], r["codec"])
-            nf, cq, bq = self._clip_features(pcm)
-            state["n_clips"] += 1
-            state["n_frames"] += nf
-            state["centroid_q"] += cq
-            state["band_q"] = [x + y for x, y in zip(state["band_q"], bq)]
+            self._fold(state, decode_clip(r["bytes"], r["codec"]))
         return state
 
     def update_table(self, state: dict, t) -> dict:
@@ -373,12 +407,7 @@ class AudioSpectral(StreamOpSpec):
             return state
         offs, vals, codecs = seg
         for i, codec in enumerate(codecs):
-            pcm = _pcm_of(vals[offs[i]:offs[i + 1]], codec)
-            nf, cq, bq = self._clip_features(pcm)
-            state["n_clips"] += 1
-            state["n_frames"] += nf
-            state["centroid_q"] += cq
-            state["band_q"] = [x + y for x, y in zip(state["band_q"], bq)]
+            self._fold(state, _pcm_of(vals[offs[i]:offs[i + 1]], codec))
         return state
 
     def finish(self, key, window, state) -> dict:
@@ -386,8 +415,11 @@ class AudioSpectral(StreamOpSpec):
         return {"key": key, **_fmt_window(window),
                 "n_clips": state["n_clips"], "n_frames": state["n_frames"],
                 "centroid_milli": int(round(1000 * state["centroid_q"] / self._Q / n)),
+                "zcr_milli": int(round(1000 * state["zcr_q"] / self._Q / n)),
                 **{f"band{i}_milli": int(round(1000 * state["band_q"][i] / self._Q / n))
-                   for i in range(4)}}
+                   for i in range(4)},
+                "mel_sig": ",".join(str(int(round(31 * v / self._Q / n)))
+                                    for v in state["mel_q"])}
 
 
 KERNELS: dict[str, type[StreamOpSpec]] = {
