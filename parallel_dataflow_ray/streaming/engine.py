@@ -104,7 +104,8 @@ class PartitionWorker:
 
     def __init__(self, partition: int, op_kind: str, op_kwargs: dict,
                  sink_root: str | None, ckpt_root: str | None,
-                 partial_keys: frozenset = frozenset()):
+                 partial_keys: frozenset = frozenset(),
+                 sink_durable: bool = True):
         import time
         self._time = time
         self.partition = partition
@@ -113,7 +114,9 @@ class PartitionWorker:
         self.op_kind = op_kind
         self._op_kwargs = op_kwargs
         self.op = make_operator(op_kind, **op_kwargs)
-        self.sink = ExactlyOnceSink(sink_root, partition) if sink_root else None
+        self._sink_durable = sink_durable
+        self.sink = (ExactlyOnceSink(sink_root, partition, durable=sink_durable)
+                     if sink_root else None)
         self.ckpt = CheckpointStore(ckpt_root, partition) if ckpt_root else None
         self.max_offset = -1
         self._pending: list[dict] = []
@@ -129,7 +132,8 @@ class PartitionWorker:
         """Fresh stream on the same (warm) process: rebuild operator state
         and re-point sink/checkpoint roots."""
         self.op = make_operator(self.op_kind, **self._op_kwargs)
-        self.sink = (ExactlyOnceSink(sink_root, self.partition)
+        self.sink = (ExactlyOnceSink(sink_root, self.partition,
+                                     durable=self._sink_durable)
                      if sink_root else None)
         self.ckpt = (CheckpointStore(ckpt_root, self.partition)
                      if ckpt_root else None)
@@ -214,7 +218,8 @@ class StreamEngine:
                  ckpt_root: str | None = None, ckpt_interval: int = 4,
                  key_column: str | None = None, actor_num_cpus: float = 0.25,
                  salted_keys: dict[Any, int] | None = None,
-                 shuffle_columns: list[str] | None = None):
+                 shuffle_columns: list[str] | None = None,
+                 sink_durable: bool = True):
         self.op_kind = op_kind
         self.op_kwargs = op_kwargs
         self.P = num_partitions
@@ -222,6 +227,7 @@ class StreamEngine:
         self.sink_root = sink_root
         self.ckpt_root = ckpt_root
         self.ckpt_interval = max(1, ckpt_interval)
+        self.sink_durable = sink_durable
         spec = op_kwargs.get("spec")
         if key_column is None:
             key_column = (spec.key_column if isinstance(spec, StreamOpSpec)
@@ -299,7 +305,8 @@ class StreamEngine:
                 PartitionWorker.options(num_cpus=self.actor_num_cpus)
                 .remote(p, self.op_kind, self.op_kwargs, self.sink_root,
                         self.ckpt_root,
-                        frozenset(self.salted_keys) if self.salted_keys else frozenset())
+                        frozenset(self.salted_keys) if self.salted_keys else frozenset(),
+                        self.sink_durable)
                 for p in range(self.P)
             ]
             # zero-CPU actors: concurrency is bounded by the pool size, and

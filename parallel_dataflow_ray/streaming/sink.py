@@ -45,20 +45,28 @@ except ImportError:
     _HAVE_LANCE = False
 
 
-def _atomic_write_bytes(path: str, data: bytes) -> None:
+def _atomic_write_bytes(path: str, data: bytes, durable: bool = True) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
         f.flush()
-        os.fsync(f.fileno())
+        if durable:
+            os.fsync(f.fileno())
     os.rename(tmp, path)
 
 
 class ExactlyOnceSink:
-    """One instance per partition (owned by that partition's actor)."""
+    """One instance per partition (owned by that partition's actor).
 
-    def __init__(self, root: str, partition: int):
+    ``durable=False`` skips fsync (atomic rename still guarantees
+    no torn manifests): use only when the backing store is not the
+    durability layer, e.g. benchmarks on scratch disk.  Production
+    object stores get the default.
+    """
+
+    def __init__(self, root: str, partition: int, durable: bool = True):
         self.root = root
+        self.durable = durable
         self.partition = partition
         self.data_dir = os.path.join(root, "data")
         self.manifest_path = os.path.join(root, "manifest", f"p{partition:05d}.json")
@@ -96,7 +104,8 @@ class ExactlyOnceSink:
             "wall_ts": time.time(),
         }
         _atomic_write_bytes(self.manifest_path,
-                            json.dumps(self.manifest).encode())
+                            json.dumps(self.manifest).encode(),
+                            durable=self.durable)
         return True
 
     # -- reader side -------------------------------------------------------
