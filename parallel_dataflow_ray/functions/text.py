@@ -11,10 +11,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-_M61 = (1 << 61) - 1
-_FP_BASE = 1_000_003
-
-
 def token_count(texts: pd.Series) -> np.ndarray:
     """Number of single-space-separated tokens (matches SQL
     ``array_length(string_split(text, ' '))``)."""
@@ -40,20 +36,29 @@ _LANG_HINTS = {
 
 def lang_id(texts: pd.Series) -> np.ndarray:
     """Heuristic language ID. Returns a language code per row ('und' when
-    no signal).  Deterministic; tie-break by language code order."""
-    out = np.empty(len(texts), dtype=object)
-    for i, t in enumerate(texts.fillna("")):
-        if any("一" <= c <= "鿿" for c in t[:200]):
-            out[i] = "zh"
+    no signal).  Deterministic; tie-break by language code order.
+
+    Vectorized: one ``str.contains`` per (language, trigram) over the
+    padded lowered prefix — a 3-gram is in ``char_ngrams(t)`` iff it is
+    a substring of ``" t "`` — instead of a per-row Python gram-set."""
+    s = texts.fillna("")
+    n = len(s)
+    cjk = s.str[:200].str.contains(r"[一-鿿]", regex=True).to_numpy()
+    padded = " " + s.str[:500].str.lower() + " "
+    best = np.full(n, "und", dtype=object)
+    best_score = np.zeros(n, dtype=np.int64)
+    for lang in sorted(_LANG_HINTS):
+        hints = _LANG_HINTS[lang]
+        if not hints:
             continue
-        grams = char_ngrams(t[:500].lower())
-        best, best_score = "und", 0
-        for lang in sorted(_LANG_HINTS):
-            score = sum(1 for g in _LANG_HINTS[lang] if g in grams)
-            if score > best_score:
-                best, best_score = lang, score
-        out[i] = best
-    return out
+        score = np.zeros(n, dtype=np.int64)
+        for g in hints:
+            score += padded.str.contains(g, regex=False).to_numpy()
+        m = score > best_score  # strict > keeps the earlier code on ties
+        best[m] = lang
+        best_score[m] = score[m]
+    best[cjk] = "zh"
+    return best
 
 
 def quality_score_milli(texts: pd.Series) -> dict[str, np.ndarray]:
@@ -80,15 +85,13 @@ def quality_score_milli(texts: pd.Series) -> dict[str, np.ndarray]:
 
 
 def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """Rolling polynomial hash over the whole document (mod 2^61-1) — a
-    cheap content fingerprint; equal documents get equal fingerprints."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        h = 0
-        for b in t.encode("utf-8"):
-            h = (h * _FP_BASE + b) % _M61
-        out[i] = h
-    return out
+    """64-bit content fingerprint (SipHash via ``pd.util.hash_array``,
+    fixed key -> stable across processes/workers); equal documents get
+    equal fingerprints.  Vectorized C — this sits on the exact-dedup hot
+    path, where the per-byte-Python polynomial it replaced dominated."""
+    h = pd.util.hash_array(texts.fillna("").to_numpy(dtype=object),
+                           hash_key="graft-paralleldf", categorize=False)
+    return h.view(np.int64)
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:

@@ -78,11 +78,16 @@ def run_job(args) -> dict:
                        ckpt_interval=args.ckpt_interval, salted_keys=salted,
                        actor_num_cpus=1)
     res = eng.run(epochs, final_flush=True)
+    # rows_seen is a per-partition cumulative counter: take each
+    # partition's LAST metric and sum (a max() reported only the busiest
+    # partition's count whenever P > 1)
+    last_rows: dict[int, int] = {}
+    for m in res["metrics"]:
+        last_rows[m["partition"]] = m.get("rows_seen", 0)
     summary = {
         "kernel": args.kernel, "epochs": len(epochs),
         "partitions": eng.P, "start_epoch": res["start_epoch"],
-        "rows_seen": max((m.get("rows_seen", 0) for m in res["metrics"]),
-                         default=0),
+        "rows_seen": sum(last_rows.values()),
         "emitted": sum(m["emitted"] for m in res["metrics"]),
         "late_rows": sum(m["late_rows"] for m in res["metrics"]
                          if m["epoch"] == len(epochs)),

@@ -33,7 +33,7 @@ from ..stages.multimodal import audio_features
 from ..functions.text import fingerprint64, lang_id, quality_score_milli
 from ..streaming import StreamEngine, TumblingWindows
 from ..streaming.kernels import AudioEnergy
-from ..streaming.partitioning import epochs_from_table
+from ..streaming.partitioning import dataset_epochs, epochs_from_table
 from ..streaming.spec import StreamOpSpec
 
 HOUR_US = 3_600_000_000
@@ -106,9 +106,9 @@ def q3_top_orders(sf_dir: str):
     joined = rel.hash_join(li, orders, on=("l_orderkey",),
                            right_on=("o_orderkey",), num_partitions=8)
     grouped = rel.grouped_sum(joined, ["l_orderkey"], ["revenue_c4"])
-    pdf = grouped.to_pandas().sort_values(
-        ["revenue_c4", "l_orderkey"], ascending=[False, True]).head(10)
-    return pdf.reset_index(drop=True)
+    # block-local top-k + tiny merge — never materialize the full grouped
+    # result on the driver (~millions of groups at scale)
+    return rel.top_k(grouped, [("revenue_c4", True), ("l_orderkey", False)], 10)
 
 
 def broadcast_region_count(sf_dir: str):
@@ -201,6 +201,9 @@ def asof_signup_before_error(sf_dir: str):
                        right_values=["signup_event_id"], suffix="")
     out = joined.to_pandas().dropna(subset=["signup_event_id"])
     out["signup_event_id"] = out["signup_event_id"].astype("int64")
+    # the tagged-union null-fill in asof_join promotes left columns to
+    # float64 (pandas); restore the oracle's int64 (r1 CORRECTNESS fail)
+    out["event_id"] = out["event_id"].astype("int64")
     return out[["event_id", "user_id", "signup_event_id"]].reset_index(drop=True)
 
 
@@ -371,19 +374,21 @@ def stream_tumbling_events(sf_dir: str):
     """The CEP engine itself (epochs + watermarks + partition actors +
     merge) reproducing a SQL GROUP BY — the sharpest end-to-end check
     that the engine's frontier semantics are exactly right."""
-    t = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]) \
-        .to_arrow_refs()
-    import ray
-    tbl = pa.concat_tables([ray.get(r) for r in t])
-    vc = np.rint(tbl["value"].to_numpy() * 100).astype(np.int64)
-    stream = pa.table({
-        "user_id": tbl["user_id"],
-        "event_ts": tbl["ts"].cast(pa.int64()),
-        "offset": tbl["event_id"],
-        "value_cents": pa.array(vc),
-    })
-    # events are arrival-ordered by event_id with monotone ts -> lateness 0
-    epochs = epochs_from_table(stream, 2048)
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_ts": t["ts"].cast(pa.int64()),
+            "offset": t["event_id"],
+            "value_cents": pa.array(vc),
+        })
+
+    stream = ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+    # events are arrival-ordered by event_id with monotone ts -> lateness 0;
+    # blocks become epochs as object-store refs — rows never touch the driver
+    epochs = dataset_epochs(stream)
     eng = StreamEngine("window",
                        {"spec": EventCountSum(), "assigner": TumblingWindows(HOUR_US)},
                        num_partitions=8, allowed_lateness_us=0)

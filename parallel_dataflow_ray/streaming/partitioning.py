@@ -129,10 +129,43 @@ def parquet_epochs(dir_path: str, ts_column: str = "event_ts",
     return epochs
 
 
+def dataset_epochs(ds, ts_column: str = "event_ts",
+                   offset_column: str = "offset") -> list[dict]:
+    """Frame a Ray Dataset's blocks as epochs WITHOUT materializing rows
+    on the driver: block refs stay in the object store; one tiny stats
+    task per block extracts (rows, max_ts, min_offset) — all the driver
+    needs for the watermark schedule.  Split workers ``ray.get`` their
+    block zero-copy.  Epochs are ordered by min offset (arrival order),
+    so the framing is deterministic for a deterministically-ordered
+    Dataset."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def _stats(t: pa.Table):
+        if t.num_rows == 0:
+            return (0, None, None)
+        import pyarrow.compute as _pc
+        return (t.num_rows,
+                _pc.max(t[ts_column].cast(pa.int64())).as_py(),
+                _pc.min(t[offset_column]).as_py())
+
+    refs = ds.to_arrow_refs()
+    stats = ray.get([_stats.remote(r) for r in refs])
+    epochs = [{"ref": r, "rows": n, "max_ts_us": int(mt), "min_offset": int(mo)}
+              for r, (n, mt, mo) in zip(refs, stats) if n]
+    epochs.sort(key=lambda e: e["min_offset"])
+    return epochs
+
+
 def load_epoch(source) -> pa.Table:
-    """Resolve an epoch source (in-memory table or fragment descriptor)."""
+    """Resolve an epoch source (in-memory table, object-store block ref,
+    or parquet fragment descriptor)."""
     if isinstance(source, pa.Table):
         return source
+    if "ref" in source:
+        import ray
+
+        return ray.get(source["ref"])
     import pyarrow.parquet as pq
 
     return pq.read_table(source["path"])

@@ -96,7 +96,19 @@ class ExactlyOnceSink:
             frag_path = os.path.join(self.data_dir, frag)
             tmp = frag_path + ".tmp"
             pq.write_table(table, tmp)
+            if self.durable:
+                # the fragment's DATA must hit disk before the manifest
+                # references it, or a power loss can leave an fsynced
+                # manifest pointing at a torn/absent fragment
+                with open(tmp, "rb+") as f:
+                    os.fsync(f.fileno())
             os.rename(tmp, frag_path)
+            if self.durable:
+                dfd = os.open(self.data_dir, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)  # persist the rename (directory entry)
+                finally:
+                    os.close(dfd)
             rows = table.num_rows
         self.manifest["epochs"][str(epoch)] = {
             "fragment": frag, "rows": rows, "max_offset": max_offset,

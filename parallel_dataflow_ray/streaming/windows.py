@@ -47,9 +47,12 @@ class SlidingWindows:
         self.slide_us = int(slide_us)
 
     def assign(self, ts_us: int) -> list[tuple[int, int]]:
-        # window starts s with s <= ts < s + size and s ≡ 0 (mod slide)
+        # window starts s with s <= ts < s + size and s ≡ 0 (mod slide);
+        # ceil(size/slide)-1 panes back from the last one covers every
+        # start even when size % slide != 0 (a (size-slide)//slide walk
+        # dropped the earliest pane for non-divisor slides)
         last = (ts_us // self.slide_us) * self.slide_us
-        first = last - ((self.size_us - self.slide_us) // self.slide_us) * self.slide_us
+        first = last - ((self.size_us - 1) // self.slide_us) * self.slide_us
         out = []
         s = first
         while s <= last:

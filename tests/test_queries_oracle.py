@@ -60,10 +60,24 @@ def test_oracle_keys_subset_of_queries():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
+_KIND = {"i": "i", "u": "i", "f": "f", "M": "M", "O": "O", "b": "b"}
+
+
 @pytest.mark.parametrize("name", SQL_KEYS)
 def test_query_matches_oracle(con, name):
-    got = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
-    want = _canon(con.execute(entrymod.oracle_sql()[name]).df())
+    got_raw = _to_pandas(entrymod.queries()[name](SF_DIR))
+    want_raw = con.execute(entrymod.oracle_sql()[name]).df()
+    # the driver hashes raw values: an int64 oracle column vs a float64
+    # Ray column hash-mismatches even when values are equal — fail that
+    # locally too (caught the r1 asof event_id float64 promotion)
+    for c in want_raw.columns:
+        if c in got_raw.columns:
+            gk = _KIND.get(got_raw[c].dtype.kind, got_raw[c].dtype.kind)
+            wk = _KIND.get(want_raw[c].dtype.kind, want_raw[c].dtype.kind)
+            assert gk == wk, (f"{name}.{c}: dtype kind {got_raw[c].dtype} "
+                              f"!= oracle {want_raw[c].dtype}")
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"

@@ -66,6 +66,21 @@ def test_sliding_window_parity():
     assert len(oracle_rows) > 0
 
 
+def test_sliding_assign_non_divisor():
+    """size % slide != 0: the assigner must return every covering pane
+    (brute-force enumeration as ground truth — the oracle shares the
+    assigner, so differential parity alone cannot catch a dropped pane)."""
+    for size, slide in [(5_000_000, 2_000_000), (3_000_000, 2_000_000),
+                        (7_000_000, 3_000_000), (4_000_000, 4_000_000)]:
+        win = SlidingWindows(size, slide)
+        for ts in [0, 1, 4_500_000, 5_999_999, 6_000_000, 123_456_789]:
+            last = (ts // slide) * slide
+            want = [(s, s + size)
+                    for s in range(last - 10 * slide, last + 1, slide)
+                    if s <= ts < s + size]
+            assert win.assign(ts) == want, (size, slide, ts)
+
+
 def test_session_window_parity():
     spec = KERNELS["clip_stats"]()
     win = SessionWindows(gap_us=500_000)
