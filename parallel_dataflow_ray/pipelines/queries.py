@@ -298,6 +298,16 @@ def minhash_neardup(sf_dir: str):
     return dd.verify_jaccard(cands, docs, threshold=0.6)
 
 
+def minhash_clusters(sf_dir: str):
+    """Near-dup clustering: MinHash candidates -> Jaccard verify ->
+    distributed min-label-propagation components (rows-only: the LSH
+    candidate step is not SQL-expressible; the SQL-checked twin is
+    ``neardup_clusters`` over the embedding pair set)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    verified = dd.verify_jaccard(dd.minhash_candidates(docs), docs, threshold=0.6)
+    return dd.components_labels(verified, node_col="doc_id")
+
+
 def simhash_neardup(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.simhash_candidates(docs, max_hamming=3)
@@ -324,8 +334,16 @@ def knn_topk(sf_dir: str):
 
 def embedding_neardup(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = dd.embedding_neardup_pairs(ds, threshold=0.45)
-    return out[out["cos_milli"] >= 450].reset_index(drop=True)
+    return dd.embedding_neardup_pairs(ds, threshold=0.45)
+
+
+def neardup_clusters(sf_dir: str):
+    """Connected components over the exact embedding-cosine pair set —
+    the SQL-checkable twin of the dedup clustering path (DuckDB oracle:
+    recursive-CTE reachability)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = dd.embedding_neardup_pairs(ds, threshold=0.45)
+    return dd.components_labels(pairs, node_col="vec_id")
 
 
 def ivf_topk_q(sf_dir: str):
@@ -444,9 +462,11 @@ QUERIES = {
     "langid_docs": langid_docs,
     "fingerprint_docs": fingerprint_docs,
     "minhash_neardup": minhash_neardup,
+    "minhash_clusters": minhash_clusters,
     "simhash_neardup": simhash_neardup,
     "knn_topk": knn_topk,
     "embedding_neardup": embedding_neardup,
+    "neardup_clusters": neardup_clusters,
     "ivf_topk": ivf_topk_q,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_audio_energy": stream_audio_energy,
@@ -572,6 +592,23 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(ROUND(list_cosine_similarity(a.v, b.v)*1000) AS BIGINT) AS cos_milli
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE CAST(ROUND(list_cosine_similarity(a.v, b.v)*1000) AS BIGINT) >= 450
+""",
+    "neardup_clusters": """
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE CAST(ROUND(list_cosine_similarity(a.v, b.v)*1000) AS BIGINT) >= 450),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+SELECT CAST(n.node AS BIGINT) AS vec_id,
+       CAST(LEAST(n.node, MIN(r.dst)) AS BIGINT) AS cluster_id
+FROM nodes n JOIN reach r ON r.src = n.node
+GROUP BY n.node
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
     # rows-only (non-SQL-expressible): docs_quality, langid_docs,

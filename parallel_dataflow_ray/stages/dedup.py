@@ -114,33 +114,99 @@ def minhash_candidates(ds: rd.Dataset, *, num_hashes=64, bands=16, shingle_k=3,
 
 
 def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
-                   *, shingle_k=3, text_col="text", id_col="doc_id") -> pd.DataFrame:
-    """Verify candidates with true shingle-Jaccard.  The candidate set is
-    small (LSH-pruned); texts are fetched via a broadcast dict.  At 100 TB
-    the same verify runs as a double hash-join of pairs against the docs
-    table — this broadcast path assumes |candidates| << |docs|."""
-    import ray
+                   *, shingle_k=3, text_col="text", id_col="doc_id") -> rd.Dataset:
+    """Verify candidates with true shingle-Jaccard — fully distributed:
+    join the pair set against the docs table on EACH side (two hash
+    joins; the docs table is never scanned on the driver and the pairs
+    never leave the object store), then compute per-pair Jaccard inside
+    ``map_batches`` with one shingle-set per distinct doc per batch.
+    Output milli-Jaccard keeps the r1 semantics (truncation toward 0,
+    filter ``>= threshold*1000``)."""
+    from .relational import bucket_join
 
-    pair_df = pairs.to_pandas()
-    if pair_df.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_milli": []})
-    need = set(pair_df["id_a"]) | set(pair_df["id_b"])
-    texts = {}
-    for batch in docs.select_columns([id_col, text_col]).iter_batches(
-            batch_size=8192, batch_format="pandas"):
-        m = batch[batch[id_col].isin(need)]
-        texts.update(zip(m[id_col], m[text_col]))
-    sh = {i: set(word_shingles(t or "", shingle_k)) for i, t in texts.items()}
-    jac = [jaccard(sh[a], sh[b]) for a, b in zip(pair_df["id_a"], pair_df["id_b"])]
-    pair_df["jaccard_milli"] = (np.array(jac) * 1000).astype(np.int64)
-    return pair_df[pair_df["jaccard_milli"] >= threshold * 1000].reset_index(drop=True)
+    d = docs.select_columns([id_col, text_col])
+    da = d.map_batches(
+        lambda b: pd.DataFrame({"id_a": b[id_col], "__ta": b[text_col]}),
+        batch_format="pandas")
+    db = d.map_batches(
+        lambda b: pd.DataFrame({"id_b": b[id_col], "__tb": b[text_col]}),
+        batch_format="pandas")
+    # materialize the (small, LSH-pruned) pair set so schema inspection
+    # and the two join passes don't re-execute the candidate pipeline
+    j = bucket_join(pairs.materialize(), da, on="id_a", num_buckets=16)
+    j = bucket_join(j.materialize(), db, on="id_b", num_buckets=16)
+    thr_milli = threshold * 1000
+
+    def jac(b: pd.DataFrame) -> pd.DataFrame:
+        # one shingle set per distinct doc in the batch (pairs share docs)
+        sh: dict = {}
+        for col_id, col_t in (("id_a", "__ta"), ("id_b", "__tb")):
+            for i, t in zip(b[col_id], b[col_t]):
+                if i not in sh:
+                    sh[i] = set(word_shingles(t or "", shingle_k))
+        milli = np.fromiter(
+            (int(jaccard(sh[a], sh[bb]) * 1000)
+             for a, bb in zip(b["id_a"], b["id_b"])),
+            dtype=np.int64, count=len(b))
+        out = pd.DataFrame({"id_a": b["id_a"].to_numpy(),
+                            "id_b": b["id_b"].to_numpy(),
+                            "jaccard_milli": milli})
+        return out[out["jaccard_milli"] >= thr_milli]
+
+    return j.map_batches(jac, batch_format="pandas")
+
+
+def components_labels(pairs: rd.Dataset, *, id_a: str = "id_a",
+                      id_b: str = "id_b", node_col: str = "doc_id",
+                      max_rounds: int = 50) -> rd.Dataset:
+    """Distributed connected components over an edge Dataset via
+    min-label propagation rounds (the groupby-rounds scale path for
+    dedup clustering): every node starts labelled with its own id; each
+    round sends labels across edges and keeps the per-node min; stop
+    when a round changes nothing.  Rounds ≈ cluster diameter (near-dup
+    clusters are near-cliques, so 2-3 rounds in practice).  Per-round
+    data is one bucket join edges⋈labels + one bucketed min-groupby —
+    all distributed; the driver only sees the changed-row COUNT."""
+    from .relational import bucket_join, bucketed_groupby
+
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "src": np.concatenate([b[id_a].to_numpy(), b[id_b].to_numpy()]),
+            "dst": np.concatenate([b[id_b].to_numpy(), b[id_a].to_numpy()])}),
+        batch_format="pandas").materialize()
+    labels = bucketed_groupby(
+        edges, ["src"],
+        lambda g: pd.DataFrame({"node": np.unique(g["src"].to_numpy())})
+    ).map_batches(lambda b: b.assign(label=b["node"]),
+                  batch_format="pandas").materialize()
+    for _ in range(max_rounds):
+        msgs = bucket_join(edges, labels, on="src", right_on="node",
+                           num_buckets=16).map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"], "label": b["label"]}),
+            batch_format="pandas")
+        new = bucketed_groupby(
+            msgs.union(labels.select_columns(["node", "label"])), ["node"],
+            lambda g: g.groupby("node", as_index=False)["label"].min()
+        ).materialize()
+        old = labels.map_batches(
+            lambda b: b.rename(columns={"label": "__old"}), batch_format="pandas")
+        chk = bucket_join(new, old, on="node", num_buckets=16)
+        changed = int(chk.map_batches(
+            lambda b: pd.DataFrame({"c": [int((b["label"] != b["__old"]).sum())]}),
+            batch_format="pandas").to_pandas()["c"].sum())
+        labels = new
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda b: pd.DataFrame({node_col: b["node"].astype(np.int64),
+                                "cluster_id": b["label"].astype(np.int64)}),
+        batch_format="pandas")
 
 
 def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     """Min-label union-find on the (small, verified) pair set -> cluster
-    representative per id.  Driver-side is justified: |pairs| is
-    LSH-pruned; the scale path iterates min-label propagation via
-    groupby rounds (documented in SURVEY §2.4)."""
+    representative per id.  Driver-side twin of
+    :func:`components_labels` (used as its differential check)."""
     parent: dict = {}
 
     def find(x):
@@ -223,27 +289,71 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
 
 def embedding_neardup_pairs(ds: rd.Dataset, threshold: float,
                             id_col="vec_id", vec_col="embedding",
-                            num_buckets: int = 1) -> pd.DataFrame:
-    """All pairs with cosine >= threshold.  v1 collects normalized
-    vectors to the driver per bucket and does a blocked matmul; the
-    scale path shards the matrix into LSH buckets (num_buckets > 1 uses
-    random-hyperplane bucketing, checking only within-bucket pairs)."""
-    import ray
+                            num_blocks: int = 8) -> rd.Dataset:
+    """All pairs with ``round(cosine*1000) >= round(threshold*1000)`` —
+    EXACT, and filtered on the quantized value so the gate matches the
+    DuckDB oracle bit-for-bit (an unrounded pre-filter dropped pairs
+    with cosine in [thr-0.0005, thr)).
 
-    parts: list[pd.DataFrame] = []
-    mats, ids = [], []
-    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=8192, batch_format="pandas"):
+    Distributed block-pair search (no driver-side ``X @ X.T``): each
+    vector lands in block ``b = stable_hash(id) % B`` and is replicated
+    to every unordered block pair ``(min(b,o), max(b,o))``; a bucketed
+    groupby over the B*(B+1)/2 pair-buckets runs one vectorized
+    float64 matmul of block-b1 rows against block-b2 rows.  Replication
+    is B× on the (id, vec) projection only; per-bucket compute/memory is
+    ~(n/B)² — pick B so a block pair fits one worker (B ≈ sqrt(#tasks)
+    at cluster scale).  Every pair is computed in exactly one bucket, so
+    the result is exact, not LSH-approximate."""
+    from .relational import bucketed_groupby
+    from ..streaming.partitioning import stable_hash
+
+    thr_milli = int(round(threshold * 1000))
+    B = max(1, int(num_blocks))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        mats.append(m)
-        ids.append(batch[id_col].to_numpy())
-    X = np.concatenate(mats)
-    I = np.concatenate(ids)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    sim = X @ X.T
-    a, b = np.nonzero(np.triu(sim >= threshold, k=1))
-    out = pd.DataFrame({"id_a": I[a], "id_b": I[b],
-                        "cos_milli": np.rint(sim[a, b] * 1000).astype(np.int64)})
-    swap = out["id_a"] > out["id_b"]
-    out.loc[swap, ["id_a", "id_b"]] = out.loc[swap, ["id_b", "id_a"]].to_numpy()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = batch[id_col].to_numpy()
+        blk = (stable_hash(ids) % np.uint64(B)).astype(np.int64)
+        outs = []
+        for o in range(B):
+            outs.append(pd.DataFrame({
+                id_col: ids, "__vec": list(m), "__blk": blk,
+                "__b1": np.minimum(blk, o), "__b2": np.maximum(blk, o)}))
+        return pd.concat(outs, ignore_index=True)
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (b1, b2), sub in g.groupby(["__b1", "__b2"], sort=False):
+            if b1 == b2:
+                ids = sub[id_col].to_numpy()
+                X = np.stack(sub["__vec"].to_numpy())
+                q = np.rint((X @ X.T) * 1000).astype(np.int64)
+                a, b = np.nonzero(np.triu(q >= thr_milli, k=1))
+                ia, ib, qv = ids[a], ids[b], q[a, b]
+            else:
+                la = sub[sub["__blk"] == b1]
+                lb = sub[sub["__blk"] == b2]
+                if la.empty or lb.empty:
+                    continue
+                A = np.stack(la["__vec"].to_numpy())
+                Bm = np.stack(lb["__vec"].to_numpy())
+                q = np.rint((A @ Bm.T) * 1000).astype(np.int64)
+                a, b = np.nonzero(q >= thr_milli)
+                ia, ib = la[id_col].to_numpy()[a], lb[id_col].to_numpy()[b]
+                qv = q[a, b]
+            if ia.size:
+                outs.append(pd.DataFrame({
+                    "id_a": np.minimum(ia, ib).astype(np.int64),
+                    "id_b": np.maximum(ia, ib).astype(np.int64),
+                    "cos_milli": qv}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos_milli": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    exploded = ds.select_columns([id_col, vec_col]).map_batches(
+        explode, batch_format="pandas", batch_size=4096)
+    return bucketed_groupby(exploded, ["__b1", "__b2"], per_pair,
+                            num_buckets=max(B * (B + 1) // 2, 1))

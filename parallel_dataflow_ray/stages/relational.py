@@ -116,9 +116,67 @@ def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: tuple,
               right_on: tuple | None = None, num_partitions: int = 16,
               join_type: str = "inner") -> rd.Dataset:
-    """Hash-partitioned distributed join (Ray Data native)."""
+    """Hash-partitioned distributed join (Ray Data native).  Best for
+    one-shot large⋈large joins; each call spins up a hash-shuffle
+    aggregator actor pool sized to ``num_partitions`` — for repeated /
+    small-side joins prefer :func:`bucket_join` (no actor pools)."""
     return left.join(right, join_type=join_type, num_partitions=num_partitions,
                      on=on, right_on=right_on)
+
+
+def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                right_on: str | None = None, *, num_buckets: int = 32,
+                how: str = "inner") -> rd.Dataset:
+    """Hash-bucketed co-shuffle equi-join built from the same
+    ``bucketed_groupby`` machinery as the aggregates: tag both sides,
+    union, bucket by key hash, ``pd.merge`` per bucket (vectorized).
+
+    Unlike the native ``Dataset.join`` this spawns NO aggregator actor
+    pool, so chained/iterated joins (label propagation rounds, pair
+    verification) can't starve each other's CPU reservations on a small
+    budget; co-location is the same guarantee (every row of a key lands
+    in exactly one bucket).  Dtypes are restored per side after the
+    union's null-fill promotion."""
+    right_on = right_on or on
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = [on if c == right_on else c for c in rsch.names]
+    ltypes = {n: t for n, t in zip(lsch.names, lsch.types)}
+    rtypes = {(on if n == right_on else n): t
+              for n, t in zip(rsch.names, rsch.types)}
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__side"] = 0
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if right_on != on:
+            b = b.rename(columns={right_on: on})
+        b["__side"] = 1
+        return b
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas"))
+
+    def _restore(df: pd.DataFrame, types: dict) -> pd.DataFrame:
+        # schema types are pyarrow DataTypes for Arrow blocks but plain
+        # numpy dtypes for pandas blocks — accept both
+        for c, t in types.items():
+            dt = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
+            try:
+                df[c] = df[c].astype(dt, copy=False)
+            except (ValueError, TypeError):
+                pass
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = _restore(g.loc[g["__side"] == 0, lcols].copy(), ltypes)
+        r = _restore(g.loc[g["__side"] == 1, rcols].copy(), rtypes)
+        return l.merge(r, on=on, how=how)
+
+    return bucketed_groupby(tagged, [on], per_bucket, num_buckets)
 
 
 def top_k(ds: rd.Dataset, by: list[tuple[str, bool]], k: int) -> pa.Table:

@@ -1,0 +1,82 @@
+"""Deterministic sampling operators — reproducible across runs, workers,
+and cluster sizes (SURVEY §2.4 "sorts / limits / top-k / sampling").
+
+All three samplers key off the same multiplicative hash
+``h(id) = ((id mod 2^32) * 2654435761 + seed) mod 2^32`` (Knuth's
+golden-ratio constant) — chosen over SipHash because it is exactly
+expressible in ANSI SQL, so every sampler has a bit-exact DuckDB
+oracle.  Exact reproducibility is what makes sampling safe in a
+resumable pipeline: a retried task keeps the same rows.
+
+- ``hash_sample``      Bernoulli-by-hash: keep rows with h%1000 < frac_milli.
+                       Pure filter inside map_batches — no shuffle, no state.
+- ``reservoir_sample`` global fixed-size n: smallest-n by (h, id) via
+                       block-local top-k + tiny driver merge (the
+                       distributed equivalent of a reservoir; no full sort).
+- ``stratified_sample`` per-stratum ceil(frac*n_key) rows by smallest (h, id)
+                       within each key — one bucketed shuffle on the key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_KNUTH = 2654435761
+_M32 = np.uint64(1 << 32)
+
+
+def mult_hash(ids, seed: int = 0) -> np.ndarray:
+    """uint64 in [0, 2^32): ((id % 2^32) * 2654435761 + seed) % 2^32.
+    Products stay < 2^64, so numpy uint64 and SQL UBIGINT agree exactly."""
+    x = np.asarray(ids).astype(np.uint64) % _M32
+    return (x * np.uint64(_KNUTH) + np.uint64(seed)) % _M32
+
+
+def hash_sample(ds: rd.Dataset, frac_milli: int, *, id_col: str,
+                seed: int = 0) -> rd.Dataset:
+    """Keep rows whose hash lands below ``frac_milli``/1000 — ~frac of
+    the data, embarrassingly parallel, zero-shuffle."""
+    def filt(t: pa.Table) -> pa.Table:
+        h = mult_hash(t[id_col].to_numpy(), seed)
+        return t.filter(pa.array((h % np.uint64(1000)) < frac_milli))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def reservoir_sample(ds: rd.Dataset, n: int, *, id_col: str,
+                     seed: int = 0) -> pa.Table:
+    """Global deterministic n-row sample: the n rows with the smallest
+    (hash, id).  Block-local top-k inside map_batches + one tiny merge —
+    never a global sort of the dataset."""
+    from .relational import top_k
+
+    def pri(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__pri", pa.array(mult_hash(t[id_col].to_numpy(), seed)
+                              .astype(np.int64)))
+
+    small = top_k(ds.map_batches(pri, batch_format="pyarrow"),
+                  [("__pri", False), (id_col, False)], n)
+    return small.drop_columns(["__pri"])
+
+
+def stratified_sample(ds: rd.Dataset, key: str, frac_milli: int, *,
+                      id_col: str, seed: int = 0) -> rd.Dataset:
+    """Exactly ``ceil(frac * n_key)`` rows per stratum (integer-exact:
+    k = (n*frac_milli + 999) // 1000), picked as the smallest (hash, id)
+    within the key.  One bucketed shuffle on the stratum key."""
+    from .relational import bucketed_groupby
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(key, sort=False):
+            k = (len(sub) * frac_milli + 999) // 1000
+            pri = mult_hash(sub[id_col].to_numpy(), seed)
+            order = np.lexsort((sub[id_col].to_numpy(), pri))
+            outs.append(sub.iloc[order[:k]])
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_groupby(ds, [key], per_key)

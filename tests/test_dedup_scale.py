@@ -1,0 +1,63 @@
+"""Scale-path dedup: the distributed block-pair embedding search and the
+distributed label-propagation components must equal their obviously-
+correct driver-side twins (differential, reference test.rs:21-70 spirit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from parallel_dataflow_ray.sources.tables import read_table
+from parallel_dataflow_ray.stages import dedup as dd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_pairs(thr_milli: int = 450) -> pd.DataFrame:
+    t = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ids = t["vec_id"].to_numpy()
+    q = np.rint((X @ X.T) * 1000).astype(np.int64)
+    a, b = np.nonzero(np.triu(q >= thr_milli, k=1))
+    out = pd.DataFrame({"id_a": np.minimum(ids[a], ids[b]),
+                        "id_b": np.maximum(ids[a], ids[b]),
+                        "cos_milli": q[a, b]})
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def _dist_pairs(num_blocks: int) -> pd.DataFrame:
+    ds = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+    got = dd.embedding_neardup_pairs(ds, threshold=0.45,
+                                     num_blocks=num_blocks).to_pandas()
+    return got.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def test_blockpair_matches_bruteforce():
+    want = _brute_pairs()
+    assert len(want) > 0
+    for nb in (1, 8):
+        got = _dist_pairs(nb)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_components_labels_matches_unionfind():
+    pair_df = _brute_pairs()
+    got = (dd.components_labels(rd.from_pandas(pair_df), node_col="doc_id")
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    want = dd.connected_components(pair_df).sort_values(
+        "doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_components_chain_converges():
+    """A 4-node path graph needs >1 propagation round — verify the loop
+    iterates to the true min label, not just one hop."""
+    chain = pd.DataFrame({"id_a": [10, 11, 12], "id_b": [11, 12, 13],
+                          "cos_milli": [999, 999, 999]})
+    got = (dd.components_labels(rd.from_pandas(chain), node_col="doc_id")
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert got["doc_id"].tolist() == [10, 11, 12, 13]
+    assert got["cluster_id"].tolist() == [10, 10, 10, 10]
