@@ -27,6 +27,7 @@ from ..fixtures import clips_table
 from ..sources.tables import read_table
 from ..stages import dedup as dd
 from ..stages import relational as rel
+from ..stages import sampling as smp
 from ..stages import similarity as sim
 from ..stages import windows_batch as wb
 from ..stages.multimodal import audio_features
@@ -292,6 +293,27 @@ def fingerprint_docs(sf_dir: str):
         batch_format="pandas")
 
 
+def sample_docs(sf_dir: str):
+    """Deterministic Bernoulli-by-hash sample (~37%): pure filter, no
+    shuffle; bit-exact DuckDB twin via the multiplicative hash."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return smp.hash_sample(ds, 370, id_col="doc_id", seed=7)
+
+
+def reservoir_docs(sf_dir: str):
+    """Global fixed-size-100 deterministic sample (smallest (hash, id)):
+    block-local top-k + tiny merge — the distributed reservoir."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return smp.reservoir_sample(ds, 100, id_col="doc_id", seed=7)
+
+
+def stratified_docs(sf_dir: str):
+    """Per-language stratified sample: exactly ceil(0.2 * n_lang) rows
+    per stratum, smallest (hash, id) within each."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return smp.stratified_sample(ds, "lang", 200, id_col="doc_id", seed=11)
+
+
 def minhash_neardup(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cands = dd.minhash_candidates(docs)
@@ -388,10 +410,11 @@ class EventCountSum(StreamOpSpec):
                 "n_events": state["n"], "value_cents": state["vc"]}
 
 
-def stream_tumbling_events(sf_dir: str):
-    """The CEP engine itself (epochs + watermarks + partition actors +
-    merge) reproducing a SQL GROUP BY — the sharpest end-to-end check
-    that the engine's frontier semantics are exactly right."""
+def _event_stream_epochs(sf_dir: str) -> list:
+    """events table -> epoch descriptors for the streaming engine.
+    Blocks become epochs as object-store refs — rows never touch the
+    driver; events are arrival-ordered by event_id with monotone ts, so
+    lateness 0 loses nothing."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -404,15 +427,99 @@ def stream_tumbling_events(sf_dir: str):
         })
 
     stream = ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
-    # events are arrival-ordered by event_id with monotone ts -> lateness 0;
-    # blocks become epochs as object-store refs — rows never touch the driver
-    epochs = dataset_epochs(stream)
+    return dataset_epochs(stream)
+
+
+def _run_stream(eng: StreamEngine, epochs: list) -> pd.DataFrame:
+    res = eng.run(epochs, collect=True, final_flush=True)
+    return pd.DataFrame([r for ep in res["emitted"] for r in ep])
+
+
+def stream_tumbling_events(sf_dir: str):
+    """The CEP engine itself (epochs + watermarks + partition actors +
+    merge) reproducing a SQL GROUP BY — the sharpest end-to-end check
+    that the engine's frontier semantics are exactly right."""
     eng = StreamEngine("window",
                        {"spec": EventCountSum(), "assigner": TumblingWindows(HOUR_US)},
                        num_partitions=8, allowed_lateness_us=0)
-    res = eng.run(epochs, collect=True, final_flush=True)
-    rows = [r for ep in res["emitted"] for r in ep]
-    return pd.DataFrame(rows)
+    return _run_stream(eng, _event_stream_epochs(sf_dir))
+
+
+def stream_sliding_events(sf_dir: str):
+    """Engine sliding-pane mode under the SQL gate (the vectorized
+    multi-pane path), twin of the batch ``sliding_events``."""
+    from ..streaming import SlidingWindows
+
+    eng = StreamEngine("window",
+                       {"spec": EventCountSum(),
+                        "assigner": SlidingWindows(HOUR_US, Q15M_US)},
+                       num_partitions=8, allowed_lateness_us=0)
+    return _run_stream(eng, _event_stream_epochs(sf_dir))
+
+
+class EventSessionCountSum(EventCountSum):
+    """Session twin of EventCountSum: window = [min_ts, max_ts + gap),
+    projected to the SQL gaps-and-islands columns."""
+
+    name = "event_session_count_sum"
+
+    def __init__(self, gap_us: int):
+        self.gap_us = int(gap_us)
+
+    def finish(self, key, window, state):
+        return {"user_id": key, "session_start_us": int(window[0]),
+                "session_end_us": int(window[1]) - self.gap_us,
+                "n_events": state["n"], "value_cents": state["vc"]}
+
+
+def stream_session_events(sf_dir: str):
+    """Engine session mode (interval-merging operator state) under the
+    SQL gate, twin of the batch ``session_events``."""
+    from ..streaming import SessionWindows
+
+    eng = StreamEngine("session",
+                       {"spec": EventSessionCountSum(GAP_US),
+                        "assigner": SessionWindows(GAP_US)},
+                       num_partitions=8, allowed_lateness_us=0)
+    return _run_stream(eng, _event_stream_epochs(sf_dir))
+
+
+def stream_join_events(sf_dir: str):
+    """Stateful symmetric hash join, SQL-gated: click stream ⋈ purchase
+    stream on user_id within ±30 min event time (the engine's join mode
+    under the driver's DuckDB oracle; the audio⋈transcript twin is
+    pytest-verified on the clips fixture)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        side = pc.equal(t["event_type"], "purchase")
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_ts": t["ts"].cast(pa.int64()),
+            "offset": t["event_id"],
+            "click_id": t["event_id"],
+            "purchase_id": t["event_id"],
+            "__stream": side.cast(pa.int8()),
+        })
+
+    stream = ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+    eng = StreamEngine("join",
+                       {"key_column": "user_id",
+                        "time_bound_us": 1_800_000_000,
+                        "left_columns": ("click_id",),
+                        "right_columns": ("purchase_id",)},
+                       num_partitions=8, allowed_lateness_us=0,
+                       key_column="user_id")
+    out = _run_stream(eng, dataset_epochs(stream))
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("user_id", "ts_left", "ts_right",
+                              "click_id", "purchase_id")})
+    return out.astype({"ts_left": "int64", "ts_right": "int64",
+                       "click_id": "int64", "purchase_id": "int64"})
 
 
 def stream_audio_energy(sf_dir: str):
@@ -457,6 +564,9 @@ QUERIES = {
     "session_events": session_events,
     "token_stats": token_stats,
     "lang_count": lang_count,
+    "sample_docs": sample_docs,
+    "reservoir_docs": reservoir_docs,
+    "stratified_docs": stratified_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "docs_quality": docs_quality,
     "langid_docs": langid_docs,
@@ -469,6 +579,9 @@ QUERIES = {
     "neardup_clusters": neardup_clusters,
     "ivf_topk": ivf_topk_q,
     "stream_tumbling_events": stream_tumbling_events,
+    "stream_sliding_events": stream_sliding_events,
+    "stream_session_events": stream_session_events,
+    "stream_join_events": stream_join_events,
     "stream_audio_energy": stream_audio_energy,
     "audio_features": audio_features_q,
 }
@@ -479,6 +592,42 @@ SELECT user_id,
        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
+"""
+
+_SLIDING_SQL = """
+WITH e AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) vc, epoch_us(ts) eu
+           FROM events)
+SELECT user_id, w.s * 900000000 AS window_start_us,
+       CAST(SUM(vc) AS BIGINT) AS value_cents, COUNT(*) AS n_events
+FROM e, UNNEST(GENERATE_SERIES((eu - 3600000000) // 900000000 + 1,
+                               eu // 900000000)) AS w(s)
+WHERE w.s >= 0
+GROUP BY 1, 2
+"""
+
+_SESSION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) eu, CAST(ROUND(value*100) AS BIGINT) vc
+           FROM events),
+f AS (SELECT *, CASE WHEN eu - LAG(eu) OVER w > 1800000000
+                      OR LAG(eu) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY eu
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, CAST(MIN(eu) AS BIGINT) AS session_start_us,
+       CAST(MAX(eu) AS BIGINT) AS session_end_us,
+       COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
+FROM g GROUP BY user_id, sid
+"""
+
+_JOIN_SQL = """
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS eu FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, epoch_us(ts) AS eu FROM events
+      WHERE event_type = 'purchase')
+SELECT c.user_id, c.eu AS ts_left, p.eu AS ts_right,
+       c.event_id AS click_id, p.event_id AS purchase_id
+FROM c JOIN p ON c.user_id = p.user_id AND ABS(c.eu - p.eu) <= 1800000000
 """
 
 ORACLE_SQL = {
@@ -538,30 +687,8 @@ SELECT event_type,
 FROM events GROUP BY 1
 """,
     "tumbling_events": _TUMBLING_SQL,
-    "sliding_events": """
-WITH e AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) vc, epoch_us(ts) eu
-           FROM events)
-SELECT user_id, w.s * 900000000 AS window_start_us,
-       CAST(SUM(vc) AS BIGINT) AS value_cents, COUNT(*) AS n_events
-FROM e, UNNEST(GENERATE_SERIES((eu - 3600000000) // 900000000 + 1,
-                               eu // 900000000)) AS w(s)
-WHERE w.s >= 0
-GROUP BY 1, 2
-""",
-    "session_events": """
-WITH e AS (SELECT user_id, epoch_us(ts) eu, CAST(ROUND(value*100) AS BIGINT) vc
-           FROM events),
-f AS (SELECT *, CASE WHEN eu - LAG(eu) OVER w > 1800000000
-                      OR LAG(eu) OVER w IS NULL THEN 1 ELSE 0 END AS brk
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eu)),
-g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY eu
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM f)
-SELECT user_id, CAST(MIN(eu) AS BIGINT) AS session_start_us,
-       CAST(MAX(eu) AS BIGINT) AS session_end_us,
-       COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS value_cents
-FROM g GROUP BY user_id, sid
-""",
+    "sliding_events": _SLIDING_SQL,
+    "session_events": _SESSION_SQL,
     "token_stats": """
 SELECT doc_id,
        CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -569,6 +696,27 @@ SELECT doc_id,
 FROM documents
 """,
     "lang_count": "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1",
+    "sample_docs": """
+SELECT doc_id, lang FROM documents
+WHERE ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 7)
+      % 4294967296 % 1000 < 370
+""",
+    "reservoir_docs": """
+SELECT doc_id, lang FROM documents
+ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 7) % 4294967296,
+         doc_id
+LIMIT 100
+""",
+    "stratified_docs": """
+WITH h AS (SELECT doc_id, lang,
+                  ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 11)
+                  % 4294967296 AS pr,
+                  COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rn
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= (n * 200 + 999) // 1000
+""",
     "exact_dedup_docs": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY text
@@ -611,6 +759,9 @@ FROM nodes n JOIN reach r ON r.src = n.node
 GROUP BY n.node
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
+    "stream_sliding_events": _SLIDING_SQL,
+    "stream_session_events": _SESSION_SQL,
+    "stream_join_events": _JOIN_SQL,
     # rows-only (non-SQL-expressible): docs_quality, langid_docs,
     # fingerprint_docs, minhash_neardup, simhash_neardup, ivf_topk,
     # stream_audio_energy, audio_features

@@ -64,9 +64,15 @@ def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int,
 
 
 def train_centroids(ds: rd.Dataset, n_centroids: int, vec_col: str = "embedding",
-                    sample: int = 4096, iters: int = 5, seed: int = 7) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample."""
-    X = _stack(ds.limit(sample).to_pandas(), vec_col)
+                    sample: int = 4096, iters: int = 5, seed: int = 7,
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic mini k-means on an UNBIASED driver-side sample
+    (hash-priority reservoir over the whole dataset — a ``limit()``
+    sample only saw the first blocks)."""
+    from .sampling import reservoir_sample
+
+    X = _stack(reservoir_sample(ds, sample, id_col=id_col, seed=seed)
+               .to_pandas(), vec_col)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(X.shape[0], n_centroids, replace=False)]
     for _ in range(iters):

@@ -105,7 +105,7 @@ class PartitionWorker:
     def __init__(self, partition: int, op_kind: str, op_kwargs: dict,
                  sink_root: str | None, ckpt_root: str | None,
                  partial_keys: frozenset = frozenset(),
-                 sink_durable: bool = True):
+                 sink_durable: bool = True, track_keys: bool = False):
         import time
         self._time = time
         self.partition = partition
@@ -121,6 +121,19 @@ class PartitionWorker:
         self.max_offset = -1
         self._pending: list[dict] = []
         self._ingest_s = 0.0
+        #: running per-key row counts (heavy-hitter detection feed): an
+        #: unsalted key's rows all land here, so this partition's count
+        #: IS the key's global count — no extra shuffle needed
+        self._track_keys = track_keys
+        self._key_counts: dict = {}
+
+    def set_partial_keys(self, keys: frozenset) -> None:
+        """Mid-stream re-salt: mark keys whose closed windows must ship
+        PARTIAL state for owner-side merge from now on (epochs already
+        in this actor's queue were enqueued first — FIFO actor order
+        makes the switch land exactly between epochs)."""
+        if hasattr(self.op, "partial_keys"):
+            self.op.partial_keys = frozenset(keys)
 
     def restore(self, epoch: int) -> int:
         d = self.ckpt.load(epoch)
@@ -139,6 +152,7 @@ class PartitionWorker:
                      if ckpt_root else None)
         self.max_offset = -1
         self._pending = []
+        self._key_counts = {}
 
     def ingest_epoch(self, epoch: int, wm_prev: int, wm: int,
                      shards: list) -> list[tuple]:
@@ -156,6 +170,15 @@ class PartitionWorker:
                 mo = pc.max(shard["offset"]).as_py()
                 if mo is not None and mo > self.max_offset:
                     self.max_offset = mo
+                if self._track_keys:
+                    kc = self.op.spec.key_column if hasattr(self.op, "spec") \
+                        else getattr(self.op, "key_column", None)
+                    if kc is not None:
+                        vc = pc.value_counts(shard[kc])
+                        for item in vc.to_pylist():
+                            k = item["values"]
+                            self._key_counts[k] = (self._key_counts.get(k, 0)
+                                                   + item["counts"])
                 self.op.apply(shard, wm_prev)
         if hasattr(self.op, "on_watermark_split"):
             rows, partials = self.op.on_watermark_split(wm)
@@ -200,6 +223,10 @@ class PartitionWorker:
                "emitted": len(emitted), "late_rows": self.op.late_rows,
                "rows_seen": self.op.rows_seen, "elapsed_s": elapsed,
                "wait_s": getattr(self, "_wait_s", 0.0)}
+        if self._track_keys and self._key_counts:
+            import heapq as _hq
+            top = _hq.nlargest(8, self._key_counts.items(), key=lambda kv: kv[1])
+            out["key_counts"] = dict(top)
         if collect:
             out["emitted_rows"] = emitted
         return out
@@ -219,7 +246,8 @@ class StreamEngine:
                  key_column: str | None = None, actor_num_cpus: float = 0.25,
                  salted_keys: dict[Any, int] | None = None,
                  shuffle_columns: list[str] | None = None,
-                 sink_durable: bool = True):
+                 sink_durable: bool = True,
+                 hot_key_config: dict | None = None):
         self.op_kind = op_kind
         self.op_kwargs = op_kwargs
         self.P = num_partitions
@@ -252,6 +280,18 @@ class StreamEngine:
         if self.op_kind != "window" and self.salted_keys:
             raise ValueError("salted_keys currently applies to the windowed "
                              "aggregate; joins co-partition strictly by key")
+        #: mid-stream heavy-hitter re-salting (the blog's skew finding,
+        #: blog/blog.md:84, detected at RUNTIME instead of an epoch-0
+        #: pre-scan): {"threshold_frac": f, "min_rows": n}.  Partition
+        #: actors feed running per-key counts through the epoch metrics;
+        #: a key crossing the threshold is added to salted_keys and the
+        #: actors switch it to partial-state mode between epochs.
+        if hot_key_config is not None and self.op_kind != "window":
+            raise ValueError("hot_key_config applies to the windowed aggregate")
+        self.hot_key_config = dict(hot_key_config) if hot_key_config else None
+        self._pkc: dict[int, dict] = {}    # partition -> {key: cum count}
+        self._last_rows: dict[int, int] = {}
+        self._cur_workers: list | None = None
         # shuffle column pruning: key + time + lineage + what the spec reads
         if shuffle_columns is None and isinstance(spec, StreamOpSpec) and spec.value_columns:
             shuffle_columns = list(dict.fromkeys(
@@ -306,7 +346,7 @@ class StreamEngine:
                 .remote(p, self.op_kind, self.op_kwargs, self.sink_root,
                         self.ckpt_root,
                         frozenset(self.salted_keys) if self.salted_keys else frozenset(),
-                        self.sink_durable)
+                        self.sink_durable, self.hot_key_config is not None)
                 for p in range(self.P)
             ]
             # zero-CPU actors: concurrency is bounded by the pool size, and
@@ -315,6 +355,7 @@ class StreamEngine:
             n_split = max(2, min(self.split_prefetch, self.P))
             self._splitters = [SplitWorker.remote() for _ in range(n_split)]
             self._split_rr = 0
+        self._cur_workers = workers
         start_epoch = 0
         if self.ckpt_root and not reuse:
             re = CheckpointStore.resume_epoch(self.ckpt_root, self.P)
@@ -438,11 +479,40 @@ class StreamEngine:
         return futs
 
     def _absorb(self, results, collect, per_epoch_emitted, metrics) -> None:
-        metrics.extend({k: v for k, v in r.items() if k != "emitted_rows"}
+        metrics.extend({k: v for k, v in r.items()
+                        if k not in ("emitted_rows", "key_counts")}
                        for r in results)
+        if self.hot_key_config:
+            for r in results:
+                if "key_counts" in r:
+                    self._pkc[r["partition"]] = r["key_counts"]
+                self._last_rows[r["partition"]] = r.get("rows_seen", 0)
+            self._maybe_resalt()
         if collect:
             rows = [row for r in results for row in r.get("emitted_rows", [])]
             per_epoch_emitted.append(canonical_sort(rows))
+
+    def _maybe_resalt(self) -> None:
+        """Promote runtime heavy hitters to salted keys between epochs.
+        Routing of already-split epochs stays valid (unsalted routes send
+        the key's rows to its owner, which then ships partial state to
+        itself), so no prefetched split is invalidated."""
+        cfg = self.hot_key_config
+        total = sum(self._last_rows.values())
+        if total < cfg.get("min_rows", 2000) or self._cur_workers is None:
+            return
+        thresh = cfg.get("threshold_frac", 0.15)
+        current = self.salted_keys or {}
+        new = {}
+        for counts in self._pkc.values():
+            for k, c in counts.items():
+                frac = c / total
+                if frac > thresh and k not in current:
+                    new[k] = int(min(self.P, max(2, round(frac * self.P * 2))))
+        if new:
+            self.salted_keys = {**current, **new}
+            ray.get([w.set_partial_keys.remote(frozenset(self.salted_keys))
+                     for w in self._cur_workers])
 
     def _superstep(self, e: int, per_part: list[list], wm_prev: int, wm: int,
                    workers, collect, per_epoch_emitted, metrics,

@@ -61,7 +61,7 @@ class WindowedAggregateOp:
             return
         spec = self.spec
         if (spec.incremental and hasattr(spec, "update_table")
-                and self.assigner.kind == "tumbling"):
+                and self.assigner.kind in ("tumbling", "sliding")):
             self._apply_vectorized(table, wm_prev)
             return
         key_col = table[spec.key_column].to_pylist()
@@ -94,9 +94,12 @@ class WindowedAggregateOp:
                     buf[row["offset"]] = row  # offset-keyed -> idempotent re-ingest
 
     def _apply_vectorized(self, table: pa.Table, wm_prev: int) -> None:
-        """Tumbling fast path for incremental specs exposing
+        """Tumbling/sliding fast path for incremental specs exposing
         ``update_table``: numpy grouping by (key, window) + one Arrow
-        slice per group — no per-row dict conversion in the hot loop."""
+        slice per group — no per-row dict conversion in the hot loop.
+        Sliding replicates row INDICES per covering pane (ceil(size/
+        slide) panes) before the same run-grouping — the batch-layer
+        ``explode_sliding`` shape, kept columnar."""
         import heapq as _hq
         import numpy as np
         import pandas as pd
@@ -106,23 +109,46 @@ class WindowedAggregateOp:
         self.rows_seen += n
         ts = table[self.ts_column].cast(pa.int64()).to_numpy()
         size = self.assigner.size_us
-        ws = (ts // size) * size
         keys = table[spec.key_column].to_pylist()
         kcodes, kuniq = pd.factorize(np.asarray(keys, dtype=object))
-        order = np.lexsort((ws, kcodes))
-        kc_s, ws_s = kcodes[order], ws[order]
-        sorted_tbl = table.take(pa.array(order))
+        if self.assigner.kind == "tumbling":
+            idx = np.arange(n)
+            ws = (ts // size) * size
+            late = wm_prev >= ws + size
+        else:
+            slide = self.assigner.slide_us
+            n_panes = (size - 1) // slide + 1
+            last = (ts // slide) * slide
+            # a row is late iff even its NEWEST pane (end = last + size)
+            # is closed — matching the row path's "no pane accepted"
+            late = wm_prev >= last + size
+            idxs, wss = [], []
+            for j in range(n_panes):
+                s = last - j * slide
+                m = (~late) & (ts < s + size) & (wm_prev < s + size)
+                sel = np.nonzero(m)[0]
+                idxs.append(sel)
+                wss.append(s[sel])
+            idx = np.concatenate(idxs)
+            ws = np.concatenate(wss)
+        self.late_rows += int(late.sum())
+        if self.assigner.kind == "tumbling":
+            keep = ~late
+            idx, ws = idx[keep], ws[keep]
+        if idx.size == 0:
+            return
+        kc = kcodes[idx]
+        order = np.lexsort((ws, kc))
+        idx_s, kc_s, ws_s = idx[order], kc[order], ws[order]
+        sorted_tbl = table.take(pa.array(idx_s))
         # run boundaries where (key, window) changes
-        change = np.empty(n, dtype=bool)
+        change = np.empty(idx_s.size, dtype=bool)
         change[0] = True
         np.logical_or(np.diff(kc_s) != 0, np.diff(ws_s) != 0, out=change[1:])
         starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], n)
+        ends = np.append(starts[1:], idx_s.size)
         for s, e in zip(starts, ends):
             w = (int(ws_s[s]), int(ws_s[s]) + size)
-            if wm_prev >= w[1]:
-                self.late_rows += int(e - s)
-                continue
             key = kuniq[kc_s[s]]
             kw = (key, w)
             if kw not in self.states:
@@ -235,24 +261,63 @@ class SessionAggregateOp:
         return a
 
     def apply(self, table: pa.Table, wm_prev: int) -> None:
+        """Vectorized ingest: sort the batch by (key, ts), split into
+        per-key gap segments (each a partial session covering a whole
+        run of rows), build ONE state per segment (``update_table`` for
+        incremental specs — no per-row dicts), then interval-merge each
+        segment into the key's open sessions.  Per-Python work drops
+        from per-row to per-segment; semantics match the row-at-a-time
+        path because session state merge is a semilattice combine."""
+        import pandas as pd
+
         if table.num_rows == 0:
             return
-        key_col = table[self.spec.key_column].to_pylist()
+        n = table.num_rows
+        self.rows_seen += n
         ts = table[self.ts_column].cast(pa.int64()).to_numpy()
-        rows = _rows_of(table)
-        self.rows_seen += len(rows)
-        for row, key, t in zip(rows, key_col, ts):
-            t = int(t)
-            row["event_ts"] = t
-            if wm_prev >= t + self.gap_us:
-                self.late_rows += 1  # session it would open has already closed
-                continue
-            self._insert(key, t, row)
+        late = wm_prev >= ts + self.gap_us
+        self.late_rows += int(late.sum())  # its session has already closed
+        keep = np.nonzero(~late)[0]
+        if keep.size == 0:
+            return
+        tbl = table.take(pa.array(keep))
+        ts = ts[keep]
+        keys = tbl[self.spec.key_column].to_pylist()
+        kcodes, kuniq = pd.factorize(np.asarray(keys, dtype=object))
+        order = np.lexsort((ts, kcodes))
+        ts_s, kc_s = ts[order], kcodes[order]
+        tbl_s = tbl.take(pa.array(order))
+        brk = np.empty(ts_s.size, dtype=bool)
+        brk[0] = True
+        np.logical_or(np.diff(kc_s) != 0, np.diff(ts_s) > self.gap_us,
+                      out=brk[1:])
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], ts_s.size)
+        fast = self.spec.incremental and hasattr(self.spec, "update_table")
+        for s, e in zip(starts, ends):
+            key = kuniq[kc_s[s]]
+            seg = tbl_s.slice(s, e - s)
+            if fast:
+                state = self.spec.update_table(self.spec.initial_state(), seg)
+            elif self.spec.incremental:
+                rows = _rows_of(seg)
+                for r, t in zip(rows, ts_s[s:e]):
+                    r["event_ts"] = int(t)
+                state = self.spec.update(self.spec.initial_state(),
+                                         _sort_rows(rows, False))
+            else:
+                rows = _rows_of(seg)
+                for r, t in zip(rows, ts_s[s:e]):
+                    r["event_ts"] = int(t)
+                state = {r["offset"]: r for r in rows}
+            self._insert_interval(key, int(ts_s[s]),
+                                  int(ts_s[e - 1]) + self.gap_us, state)
 
     def _insert(self, key, t: int, row: dict) -> None:
-        start, end = t, t + self.gap_us
+        self._insert_interval(key, t, t + self.gap_us, self._mk_state([row]))
+
+    def _insert_interval(self, key, start: int, end: int, state) -> None:
         ivs = self.sessions.setdefault(key, [])
-        state = self._mk_state([row])
         # collect overlapping intervals ([s,e) overlaps [start,end) if s < end and start < e)
         keep, merged = [], [start, end, state]
         for iv in ivs:
@@ -321,65 +386,116 @@ class SymmetricJoinOp:
         self.left_columns = tuple(left_columns)
         self.right_columns = tuple(right_columns)
         self.ts_column = ts_column
-        self.tables: tuple[dict, dict] = ({}, {})  # key -> {offset: row}
+        # COLUMNAR state: one pandas frame per side (key, event_ts,
+        # offset, payload cols) — probes are vectorized merges, never a
+        # per-row dict of the binary audio payload
+        self.stores: list = [None, None]
+        self.seen: tuple[set, set] = (set(), set())  # offsets per side
         self.pending: list[dict] = []  # matched this epoch, not yet collected
         self.late_rows = 0
         self.rows_seen = 0
+        # output keeps the old dict-row semantics: left payload first,
+        # right payload overwrites on name collision
+        self._left_payload = tuple(c for c in dict.fromkeys(self.left_columns)
+                                   if c not in self.right_columns)
+        self._right_payload = tuple(dict.fromkeys(self.right_columns))
 
-    def _emit(self, left: dict, right: dict) -> dict:
-        out = {self.key_column: left[self.key_column],
-               "ts_left": left["event_ts"], "ts_right": right["event_ts"]}
-        for c in self.left_columns:
-            out[c] = left.get(c)
-        for c in self.right_columns:
-            out[c] = right.get(c)
-        return out
+    def _side_cols(self, side: int) -> list[str]:
+        payload = self.left_columns if side == 0 else self.right_columns
+        return list(dict.fromkeys(
+            [self.key_column, "event_ts", "offset", *payload]))
+
+    def _probe(self, l, r) -> None:
+        """Emit all (left, right) pairs with equal key within the time
+        bound — one vectorized merge + mask per probe."""
+        if l is None or r is None or len(l) == 0 or len(r) == 0:
+            return
+        lk = l[list(dict.fromkeys(
+            [self.key_column, "event_ts", *self._left_payload]))].rename(
+            columns={"event_ts": "ts_left"})
+        rk = r[list(dict.fromkeys(
+            [self.key_column, "event_ts", *self._right_payload]))].rename(
+            columns={"event_ts": "ts_right"})
+        m = lk.merge(rk, on=self.key_column)
+        if m.empty:
+            return
+        m = m[(m["ts_left"] - m["ts_right"]).abs() <= self.time_bound_us]
+        if m.empty:
+            return
+        cols = [self.key_column, "ts_left", "ts_right",
+                *self._left_payload, *self._right_payload]
+        self.pending.extend(m[cols].to_dict("records"))
 
     def apply(self, table: pa.Table, wm_prev: int) -> None:
+        import pandas as pd
+
         if table.num_rows == 0:
             return
+        n = table.num_rows
+        self.rows_seen += n
         ts = table[self.ts_column].cast(pa.int64()).to_numpy()
-        rows = _rows_of(table)
-        self.rows_seen += len(rows)
-        for row, t in zip(rows, ts):
-            t = int(t)
-            row["event_ts"] = t
-            if wm_prev >= t + self.time_bound_us:
-                self.late_rows += 1  # every possible match already evicted
+        late = wm_prev >= ts + self.time_bound_us
+        self.late_rows += int(late.sum())  # every possible match already evicted
+        keep = np.nonzero(~late)[0]
+        if keep.size == 0:
+            return
+        tbl = table.take(pa.array(keep))
+        sides = tbl["__stream"].to_numpy(zero_copy_only=False).astype(np.int8)
+        df = tbl.drop_columns(["__stream"]).to_pandas()
+        df["event_ts"] = ts[keep].astype(np.int64)
+        news = []
+        for side in (0, 1):
+            cols = [c for c in self._side_cols(side) if c in df.columns]
+            sub = df.loc[sides == side, cols]
+            if len(sub):
+                # idempotent re-ingest (replayed epoch): offset-keyed
+                sub = sub[~sub["offset"].isin(self.seen[side])]
+                sub = sub.drop_duplicates("offset")
+            news.append(sub)
+        # pair set = new0×stored1 ∪ stored0×new1 ∪ new0×new1 — exactly the
+        # pairs the row-at-a-time probe emitted, order-independent
+        self._probe(news[0], self.stores[1])
+        self._probe(self.stores[0], news[1])
+        self._probe(news[0], news[1])
+        for side in (0, 1):
+            if len(news[side]) == 0:
                 continue
-            side = int(row.pop("__stream"))
-            key = row[self.key_column]
-            mine, other = self.tables[side], self.tables[1 - side]
-            bucket = mine.setdefault(key, {})
-            if row["offset"] in bucket:
-                continue  # idempotent re-ingest (replayed epoch)
-            bucket[row["offset"]] = row
-            for orow in other.get(key, {}).values():
-                if abs(orow["event_ts"] - t) <= self.time_bound_us:
-                    pair = (row, orow) if side == 0 else (orow, row)
-                    self.pending.append(self._emit(*pair))
+            self.seen[side].update(map(int, news[side]["offset"]))
+            st = self.stores[side]
+            self.stores[side] = (news[side] if st is None
+                                 else pd.concat([st, news[side]],
+                                                ignore_index=True))
 
     def on_watermark(self, wm: int) -> list[dict]:
         out, self.pending = self.pending, []
         for side in (0, 1):
-            tbl = self.tables[side]
-            for key in list(tbl):
-                bucket = {o: r for o, r in tbl[key].items()
-                          if r["event_ts"] + self.time_bound_us > wm}
-                if bucket:
-                    tbl[key] = bucket
-                else:
-                    del tbl[key]
+            st = self.stores[side]
+            if st is None or len(st) == 0:
+                continue
+            # keep rows with ts + bound >= wm: a future in-order row can
+            # sit EXACTLY at the bound (ts_new = wm = ts_old + bound) and
+            # must still find its partner (strict > lost the boundary
+            # pair when an epoch boundary fell between the two rows)
+            mask = (st["event_ts"] + self.time_bound_us >= wm).to_numpy()
+            if not mask.all():
+                kept = st[mask].reset_index(drop=True)
+                self.stores[side] = kept
+                # prune the dedup set with the store: an evicted row's
+                # replay either hits the late check (live runs use the
+                # current watermark) or lands in an epoch the sink's
+                # (partition, epoch) manifest already absorbs (resume)
+                self.seen[side].intersection_update(map(int, kept["offset"]))
         return out
 
     def snapshot(self) -> bytes:
-        return pickle.dumps({"tables": self.tables, "pending": self.pending,
+        return pickle.dumps({"stores": self.stores, "seen": self.seen,
+                             "pending": self.pending,
                              "late_rows": self.late_rows, "rows_seen": self.rows_seen},
                             protocol=pickle.HIGHEST_PROTOCOL)
 
     def restore(self, blob: bytes) -> None:
         d = pickle.loads(blob)
-        self.tables, self.pending = d["tables"], d["pending"]
+        self.stores, self.seen, self.pending = d["stores"], d["seen"], d["pending"]
         self.late_rows, self.rows_seen = d["late_rows"], d["rows_seen"]
 
 
