@@ -25,14 +25,47 @@ def _stable_token_hashes(tokens: list[str]) -> np.ndarray:
                               hash_key="graft-paralleldf", categorize=False)
 
 
+def _mulmod_mersenne(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact ``outer(a, x) mod 2^61-1`` in uint64 via 32-bit limb split.
+
+    A plain ``np.outer(a, x)`` wraps mod 2^64 BEFORE the mod-Mersenne
+    reduction, which silently breaks the universal-hash guarantee of the
+    Broder family (round-1 advisor finding).  Here the 122-bit product
+    is reassembled mod p using 2^61 ≡ 1 (mod p), entirely vectorized.
+    """
+    P = np.uint64(_MERSENNE)
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    a1, a0 = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    x1, x0 = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+    # a*x = a1*x1*2^64 + (a1*x0 + a0*x1)*2^32 + a0*x0
+    t1 = np.outer(a1, x1)                       # < 2^58  (a1, x1 < 2^29)
+    t2 = np.outer(a1, x0) + np.outer(a0, x1)    # < 2^62, no overflow
+    t3 = np.outer(a0, x0)                       # < 2^64
+    t2 %= P                                     # < 2^61
+    # t2 * 2^32 mod p:  t2 = h*2^29 + l  ->  h*2^61 + l*2^32 ≡ h + (l<<32)
+    hi = t2 >> np.uint64(29)
+    lo = (t2 & np.uint64((1 << 29) - 1)) << np.uint64(32)
+    t3 = (t3 >> np.uint64(61)) + (t3 & P)       # fold: 2^64-range -> <2^61+8
+    s = (t1 << np.uint64(3)) + hi + lo + t3     # each term < 2^61 -> s < 2^63
+    s = (s >> np.uint64(61)) + (s & P)
+    return np.where(s >= P, s - P, s)
+
+
 class MinHasher:
     """k-permutation MinHash over word shingles.
 
     Universal-hash family h_i(x) = (a_i * x + b_i) mod p, p = 2^61-1 —
-    the classic Broder construction.  Instantiate ONCE per actor
+    the classic Broder construction, with the multiply reduced exactly
+    mod p (see :func:`_mulmod_mersenne`).  Instantiate ONCE per actor
     (coefficients are derived from a fixed seed, so every worker holds
-    the identical family).
+    the identical family).  The batch APIs (:meth:`signatures`,
+    :meth:`band_keys_matrix`) are the hot path — one vectorized pass
+    over all documents in a ``map_batches`` batch.
     """
+
+    # shingle-hash budget per vectorized chunk: (k=64, 2^16) u64 ≈ 32 MB
+    _CHUNK = 1 << 16
 
     def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 1337):
         rng = np.random.default_rng(seed)
@@ -41,36 +74,92 @@ class MinHasher:
         self.a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """uint32[n, k] MinHash signatures for a whole batch: ONE SipHash
+        call over the flattened shingles, then chunked (k, m) permuted-
+        hash matrices min-reduced per document via ``minimum.reduceat``.
+        Empty documents get the all-MAX sentinel signature."""
+        n = len(texts)
+        sigs = np.full((n, self.k), _MAX_HASH, dtype=np.uint32)
+        sh_lists = [word_shingles(t or "", self.shingle_k) for t in texts]
+        lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=n)
+        nz = np.nonzero(lens)[0]
+        if nz.size == 0:
+            return sigs
+        flat = [s for i in nz for s in sh_lists[i]]
+        x = _stable_token_hashes(flat) % np.uint64(_MERSENNE)
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        P = np.uint64(_MERSENNE)
+        mask = np.uint64(_MAX_HASH)
+        i = 0
+        while i < nz.size:
+            j = i + 1
+            while j < nz.size and starts[j] - starts[i] < self._CHUNK:
+                j += 1
+            lo = starts[i]
+            hi = starts[j] if j < nz.size else x.size
+            hx = _mulmod_mersenne(self.a, x[lo:hi]) + self.b[:, None]
+            hx = np.where(hx >= P, hx - P, hx)
+            mins = np.minimum.reduceat(hx, starts[i:j] - lo, axis=1)
+            sigs[nz[i:j]] = (mins.T & mask).astype(np.uint32)
+            i = j
+        return sigs
+
     def signature(self, text: str) -> np.ndarray:
-        """uint32[k] MinHash signature."""
-        sh = word_shingles(text, self.shingle_k)
-        if not sh:
-            return np.full(self.k, _MAX_HASH, dtype=np.uint32)
-        x = _stable_token_hashes(sh) % np.uint64(_MERSENNE)
-        # (k, n) matrix of permuted hashes; min over shingles
-        hx = (np.outer(self.a, x) + self.b[:, None]) % np.uint64(_MERSENNE)
-        return (hx.min(axis=1) & np.uint64(_MAX_HASH)).astype(np.uint32)
+        """uint32[k] MinHash signature (single-doc convenience)."""
+        return self.signatures([text])[0]
+
+    def band_keys_matrix(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """int64[n, bands] LSH band hashes for a batch of signatures —
+        a uint64-wraparound polynomial per band row, vectorized over the
+        batch (only bucket identity matters, not the hash value)."""
+        n = sigs.shape[0]
+        rows = self.k // bands
+        s = sigs[:, :bands * rows].reshape(n, bands, rows).astype(np.uint64)
+        h = np.zeros((n, bands), dtype=np.uint64)
+        B = np.uint64(1_000_003)
+        for r in range(rows):
+            h = h * B + s[:, :, r]
+        return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
     def band_keys(self, sig: np.ndarray, bands: int) -> list[int]:
-        """LSH band hashes: split the signature into ``bands`` rows and
-        hash each band — candidates share >=1 band key."""
-        rows = self.k // bands
-        keys = []
-        for b in range(bands):
-            chunk = sig[b * rows:(b + 1) * rows]
-            h = 0
-            for v in chunk:
-                h = (h * 1_000_003 + int(v)) % _MERSENNE
-            keys.append(h)
-        return keys
+        """LSH band hashes for one signature — candidates share >=1 key."""
+        return self.band_keys_matrix(np.asarray(sig)[None, :], bands)[0].tolist()
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """uint64[n] SimHash sketches for a whole batch — one SipHash call
+    over the flattened tokens, per-document bit votes via segment sums
+    (``add.reduceat``), bits packed with one matmul-free shift-sum.
+    Empty documents sketch to 0."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    tok_lists = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    nz = np.nonzero(lens)[0]
+    if nz.size == 0:
+        return out
+    flat = [w for i in nz for w in tok_lists[i]]
+    h = _stable_token_hashes(flat)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+    starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)  # (nnz, 64)
+    # majority vote: bit set iff ones > m/2  <=>  2*ones - m > 0
+    set_bits = (2 * ones > lens[nz][:, None])
+    packed = (set_bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64)
+    out[nz] = packed
+    return out
 
 
 def simhash64(text: str, token_hashes: np.ndarray | None = None) -> int:
     """64-bit SimHash over word tokens (bit-vote of token hashes)."""
-    tokens = text.split()
+    if token_hashes is None:
+        return int(simhash64_batch([text])[0])
+    tokens = (text or "").split()
     if not tokens:
         return 0
-    h = _stable_token_hashes(tokens) if token_hashes is None else token_hashes
+    h = token_hashes
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     out = np.uint64(0)
@@ -81,6 +170,16 @@ def simhash64(text: str, token_hashes: np.ndarray | None = None) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash_band_matrix(h: np.ndarray, bands: int = 4) -> np.ndarray:
+    """int64[n, bands] band chunks of 64-bit simhashes — vectorized twin
+    of :func:`simhash_band_keys` for whole-batch LSH explode."""
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    shifts = np.arange(bands, dtype=np.uint64) * np.uint64(width)
+    return ((np.ascontiguousarray(h, dtype=np.uint64)[:, None] >> shifts)
+            & mask).astype(np.int64)
 
 
 def simhash_band_keys(h: int, bands: int = 4) -> list[tuple[int, int]]:

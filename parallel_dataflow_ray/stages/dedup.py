@@ -23,7 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.hashing import MinHasher, hamming64, simhash64, simhash_band_keys
+from ..functions.hashing import (MinHasher, hamming64, simhash64_batch,
+                                 simhash_band_matrix)
 from ..functions.text import fingerprint64, jaccard, word_shingles
 
 
@@ -66,15 +67,14 @@ class MinHashStage:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes = [], [], []
-        for i, t in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sig = self.mh.signature(t)
-            for b, h in enumerate(self.mh.band_keys(sig, self.bands)):
-                ids.append(i)
-                band_ids.append(b)
-                band_hashes.append(h)
-        return pd.DataFrame({self.id_col: ids, "band_id": band_ids,
-                             "band_hash": band_hashes})
+        texts = batch[self.text_col].fillna("").tolist()
+        sigs = self.mh.signatures(texts)                       # (n, k)
+        bk = self.mh.band_keys_matrix(sigs, self.bands)        # (n, bands)
+        n = len(batch)
+        return pd.DataFrame({
+            self.id_col: np.repeat(batch[self.id_col].to_numpy(), self.bands),
+            "band_id": np.tile(np.arange(self.bands, dtype=np.int64), n),
+            "band_hash": bk.reshape(-1)})
 
 
 def _pairs_from_buckets(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
@@ -230,9 +230,9 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
 
 def simhash_sketch(ds: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Dataset:
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
-        hs = [simhash64(t or "") for t in batch[text_col]]
+        hs = simhash64_batch(batch[text_col].fillna("").tolist())
         return pd.DataFrame({id_col: batch[id_col],
-                             "simhash": np.array(hs, dtype=np.uint64).astype(np.int64)})
+                             "simhash": hs.astype(np.int64)})
 
     return ds.map_batches(sketch, batch_format="pandas", batch_size=2048)
 
@@ -243,15 +243,14 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
     sketches = simhash_sketch(ds, text_col, id_col)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bids, keys, hs = [], [], [], []
-        for i, h in zip(batch[id_col], batch["simhash"]):
-            for b, kk in simhash_band_keys(int(h) & 0xFFFFFFFFFFFFFFFF, 4):
-                ids.append(i)
-                bids.append(b)
-                keys.append(kk)
-                hs.append(h)
-        return pd.DataFrame({id_col: ids, "band_id": bids, "band_key": keys,
-                             "simhash": hs})
+        h = batch["simhash"].to_numpy()
+        keys = simhash_band_matrix(h.astype(np.uint64), 4)     # (n, 4)
+        n = len(batch)
+        return pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), 4),
+            "band_id": np.tile(np.arange(4, dtype=np.int64), n),
+            "band_key": keys.reshape(-1),
+            "simhash": np.repeat(h, 4)})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sub = g.drop_duplicates(id_col).sort_values(id_col)
