@@ -335,6 +335,13 @@ def simhash_neardup(sf_dir: str):
     return dd.simhash_candidates(docs, max_hamming=3)
 
 
+def ngram_jaccard_neardup(sf_dir: str):
+    """Exact word-3-gram Jaccard >= 0.5 pairs via the inverted-index
+    set-similarity join (SQL-checked; no LSH approximation)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.ngram_jaccard_pairs(docs, threshold_milli=500)
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -574,6 +581,7 @@ QUERIES = {
     "minhash_neardup": minhash_neardup,
     "minhash_clusters": minhash_clusters,
     "simhash_neardup": simhash_neardup,
+    "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "knn_topk": knn_topk,
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
@@ -720,6 +728,26 @@ SELECT doc_id, lang FROM r WHERE rn <= (n * 200 + 999) // 1000
     "exact_dedup_docs": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY text
+""",
+    "ngram_jaccard_neardup": r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       (1000 * inter) // (sa.sz + sb.sz - inter) AS jaccard_milli
+FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE (1000 * inter) // (sa.sz + sb.sz - inter) >= 500
 """,
     "knn_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

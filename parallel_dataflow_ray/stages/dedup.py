@@ -283,6 +283,77 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, inverted-index shape)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold_milli: int = 500,
+                        shingle_k: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        num_buckets: int = 64) -> rd.Dataset:
+    """EXACT all-pairs word-``k``-gram Jaccard >= ``threshold_milli``/1000
+    via the classic inverted-index set-similarity join — never an O(n²)
+    doc×doc comparison:
+
+    1. ``map_batches``: per doc, the DISTINCT shingle set, hashed in one
+       vectorized SipHash pass over the flattened batch; emit
+       ``(doc_id, shingle_hash, set_size)`` rows.
+    2. bucketed groupby on the shingle hash: a vectorized self-merge per
+       bucket yields co-occurrence rows ``(id_a < id_b, sz_a, sz_b)`` —
+       each pair appears once PER SHARED SHINGLE.
+    3. bucketed groupby on the pair: ``inter = count`` and
+       ``jaccard_milli = (1000*inter) // (sz_a + sz_b - inter)``
+       (integer division — bit-exact vs the SQL oracle).
+
+    Only (hash, id) pairs shuffle; documents never leave stage 1.
+    Scale note: per-shingle fan-out is quadratic in the shingle's doc
+    frequency — word k-grams (k>=3) keep df near 1 except for
+    boilerplate, which is exactly the near-dup signal.  At 100 TB add a
+    df-cap / prefix-filter before stage 2 for stop-shingles."""
+    from .relational import bucketed_groupby
+    from ..functions.hashing import _stable_token_hashes
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("").tolist()
+        sets = [set(word_shingles(t, shingle_k)) for t in texts]
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64,
+                           count=len(sets))
+        flat = [g for s in sets for g in s]
+        h = (_stable_token_hashes(flat).view(np.int64) if flat
+             else np.empty(0, dtype=np.int64))
+        return pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), lens),
+            "__g": h,
+            "__sz": np.repeat(lens, lens)})
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="__g", suffixes=("_l", "_r"))
+        m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
+        return pd.DataFrame({
+            "id_a": m[f"{id_col}_l"].to_numpy(),
+            "id_b": m[f"{id_col}_r"].to_numpy(),
+            "sz_a": m["__sz_l"].to_numpy(),
+            "sz_b": m["__sz_r"].to_numpy()})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False, sort=False).agg(
+            inter=("sz_a", "size"), sz_a=("sz_a", "first"),
+            sz_b=("sz_b", "first"))
+        jm = (1000 * agg["inter"].to_numpy(np.int64)) // (
+            agg["sz_a"].to_numpy(np.int64) + agg["sz_b"].to_numpy(np.int64)
+            - agg["inter"].to_numpy(np.int64))
+        out = pd.DataFrame({"id_a": agg["id_a"].astype(np.int64),
+                            "id_b": agg["id_b"].astype(np.int64),
+                            "jaccard_milli": jm})
+        return out[out["jaccard_milli"] >= threshold_milli]
+
+    shingled = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas", batch_size=2048)
+    co = bucketed_groupby(shingled, ["__g"], cooccur, num_buckets=num_buckets)
+    return bucketed_groupby(co, ["id_a", "id_b"], finalize,
+                            num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
