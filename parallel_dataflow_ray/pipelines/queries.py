@@ -120,12 +120,10 @@ def broadcast_region_count(sf_dir: str):
     lut = lut[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     with_region = rel.broadcast_lookup(cust, lut, on="c_nationkey",
-                                       add_columns=["r_name"])
-    # (broadcast_lookup joins on the index; rename to match)
-    ds = with_region.map_batches(
-        lambda b: b[["r_name"]].assign(n_customers=1),
-        batch_format="pandas")
-    return rel.grouped_sum(ds, ["r_name"], ["n_customers"])
+                                       add_columns=["r_name"],
+                                       project=["r_name"])
+    return rel.grouped_sum(with_region, ["r_name"], [],
+                           count_as="n_customers")
 
 
 def topk_orders(sf_dir: str):

@@ -96,9 +96,12 @@ def grouped_sum(ds: rd.Dataset, keys: list[str], sums: list[str],
 
 
 def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
-                     add_columns: list[str]) -> rd.Dataset:
+                     add_columns: list[str],
+                     project: list[str] | None = None) -> rd.Dataset:
     """Broadcast-small-side join: ``ray.put`` the dimension table once;
-    every task maps keys through it — no shuffle."""
+    every task maps keys through it — no shuffle.  ``project`` prunes the
+    output to just those columns inside the same pass (no follow-up
+    projection stage)."""
     ref = ray.put(lookup_df.set_index(on)[add_columns])
 
     class Lookup:
@@ -107,7 +110,7 @@ def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             joined = batch.join(self.lut, on=on)
-            return joined
+            return joined[project] if project else joined
 
     return ds.map_batches(Lookup, batch_format="pandas", batch_size=65536,
                           concurrency=(1, 8))

@@ -47,13 +47,25 @@ def split_by_partition(table: pa.Table, key_column: str, num_partitions: int,
     lacked (``blog/blog.md:84``).  The partition actor then emits PARTIAL
     state for these keys; the owner merges (semilattice-safe).
     """
-    keys = table[key_column].to_pylist()
-    pids = partition_ids(keys, num_partitions)
+    # dictionary-encode: hash each DISTINCT key once (the object-array
+    # SipHash path is the contract; encoding just amortizes it over the
+    # key's repeat count), then gather per row by code
+    col = table[key_column].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = (col.chunk(0) if col.num_chunks == 1
+               else pa.concat_arrays(col.chunks))
+    enc = col.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    upids = partition_ids(uniq, num_partitions) if uniq else np.empty(0, np.int64)
+    pids = upids[codes] if len(uniq) else np.empty(0, np.int64)
     if salted_keys:
         offsets = table["offset"].to_numpy(zero_copy_only=False)
-        keys_arr = np.asarray(keys, dtype=object)
+        uniq_pos = {k: i for i, k in enumerate(uniq)}
         for k, n in salted_keys.items():
-            mask = keys_arr == k
+            if k not in uniq_pos:
+                continue
+            mask = codes == uniq_pos[k]
             if mask.any():
                 salt = (offsets[mask] % n).astype(np.uint64)
                 base = stable_hash([k])[0]

@@ -64,7 +64,14 @@ class ExactlyOnceSink:
     object stores get the default.
     """
 
-    def __init__(self, root: str, partition: int, durable: bool = True):
+    def __init__(self, root: str, partition: int, durable: bool = True,
+                 fragment_format: str = "parquet"):
+        if fragment_format not in ("parquet", "lance"):
+            raise ValueError(f"unknown fragment_format {fragment_format!r}")
+        if fragment_format == "lance" and not _HAVE_LANCE:
+            raise ImportError("fragment_format='lance' requires the lance "
+                              "package (not present in this container)")
+        self.fragment_format = fragment_format
         self.root = root
         self.durable = durable
         self.partition = partition
@@ -92,16 +99,29 @@ class ExactlyOnceSink:
         frag = None
         rows = 0
         if table is not None and table.num_rows:
-            frag = f"p{self.partition:05d}-e{epoch:06d}.parquet"
+            ext = "lance" if self.fragment_format == "lance" else "parquet"
+            frag = f"p{self.partition:05d}-e{epoch:06d}.{ext}"
             frag_path = os.path.join(self.data_dir, frag)
             tmp = frag_path + ".tmp"
-            pq.write_table(table, tmp)
-            if self.durable:
-                # the fragment's DATA must hit disk before the manifest
-                # references it, or a power loss can leave an fsynced
-                # manifest pointing at a torn/absent fragment
-                with open(tmp, "rb+") as f:
-                    os.fsync(f.fileno())
+            if self.fragment_format == "lance":
+                # a lance fragment is a self-contained dataset directory;
+                # the same tmp-write -> fsync -> atomic-rename protocol
+                # applies to the directory as a unit
+                import lance as _lance
+                _lance.write_dataset(table, tmp)
+                if self.durable:
+                    for dirpath, _dirnames, filenames in os.walk(tmp):
+                        for fn in filenames:
+                            with open(os.path.join(dirpath, fn), "rb") as f:
+                                os.fsync(f.fileno())
+            else:
+                pq.write_table(table, tmp)
+                if self.durable:
+                    # the fragment's DATA must hit disk before the manifest
+                    # references it, or a power loss can leave an fsynced
+                    # manifest pointing at a torn/absent fragment
+                    with open(tmp, "rb+") as f:
+                        os.fsync(f.fileno())
             os.rename(tmp, frag_path)
             if self.durable:
                 dfd = os.open(self.data_dir, os.O_RDONLY)
@@ -139,7 +159,14 @@ class ExactlyOnceSink:
                     frags.append(os.path.join(root, "data", frag))
         if not frags:
             return None
-        return pa.concat_tables([pq.read_table(p) for p in frags], promote_options="default")
+
+        def _read(p: str) -> pa.Table:
+            if p.endswith(".lance"):
+                import lance as _lance
+                return _lance.dataset(p).to_table()
+            return pq.read_table(p)
+
+        return pa.concat_tables([_read(p) for p in frags], promote_options="default")
 
     @staticmethod
     def lineage(root: str) -> list[dict]:
