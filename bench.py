@@ -159,6 +159,40 @@ def _settle(max_wait_s: int = 120) -> None:
         time.sleep(5)
 
 
+def _mem_bandwidth_gbps(procs: int, seconds: float = 4.0) -> float:
+    """Aggregate memcopy GB/s achievable with ``procs`` processes — the
+    host-level control for the scaling measurement.  On this single-box
+    sandbox ALL cores share one memory system (measured ~64 GB/s total,
+    ~50 already at 8 procs), so a bandwidth-heavy payload cannot scale
+    4x from 8→32 CPUs no matter what the engine does; a real 4N-node
+    cluster multiplies memory (and disk) bandwidth with nodes.  Reported
+    alongside the efficiency so the number can be read honestly."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        a = np.random.rand(1 << 22)
+        b = np.empty_like(a)
+        t_end = time.perf_counter() + seconds
+        n = 0
+        while time.perf_counter() < t_end:
+            np.copyto(b, a)
+            np.copyto(a, b)
+            n += 2
+        q.put(n * a.nbytes)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+    t0 = time.perf_counter()
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(total / (time.perf_counter() - t0) / 1e9, 1)
+
+
 def scaling() -> None:
     lo, hi = 8, 32
 
@@ -172,6 +206,9 @@ def scaling() -> None:
                            capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
+    bw_lo = _mem_bandwidth_gbps(lo)
+    bw_hi = _mem_bandwidth_gbps(hi)
+    _settle()
     r_lo = run(lo)
     _settle()  # let writeback/load from the lo run drain so the hi run
     # measures the engine, not the tail of the previous process
@@ -187,6 +224,8 @@ def scaling() -> None:
         "clips_per_sec_lo": thr_lo, "clips_per_sec_hi": thr_hi,
         "bench_total_sec_lo": r_lo["value"], "bench_total_sec_hi": r_hi["value"],
         "scaling_efficiency_total": round(eff_total, 3),
+        "host_mem_gbps_lo": bw_lo, "host_mem_gbps_hi": bw_hi,
+        "host_mem_scaling": round((bw_hi / bw_lo) / (hi / lo), 3),
     }))
 
 

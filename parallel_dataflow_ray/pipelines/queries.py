@@ -221,6 +221,24 @@ def _events_cents(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
 
 
+def sort_events(sf_dir: str):
+    """Global total-order sort (Ray Data's range-partitioned shuffle
+    sort) of events by (ts_us, event_id).  The one deliberate wide
+    total-order operator in the suite — when only a prefix is needed,
+    ``rel.top_k`` (block-local + tiny merge) is the scale-right tool.
+    Order correctness is asserted block-wise in
+    ``tests/test_sort_global.py`` (the driver's hash gate is
+    order-insensitive)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    return ds.map_batches(prep, batch_format="pyarrow",
+                          batch_size=65536).sort(["ts_us", "event_id"])
+
+
 def tumbling_events(sf_dir: str):
     return wb.tumbling_agg(_events_cents(sf_dir), "user_id", "ts", HOUR_US,
                            ["value_cents"], count_as="n_events")
@@ -564,6 +582,7 @@ QUERIES = {
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
     "props_k_by_type": props_k_by_type,
+    "sort_events": sort_events,
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
     "session_events": session_events,
@@ -726,6 +745,10 @@ SELECT doc_id, lang FROM r WHERE rn <= (n * 200 + 999) // 1000
     "exact_dedup_docs": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY text
+""",
+    "sort_events": """
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM events ORDER BY ts_us, event_id
 """,
     "ngram_jaccard_neardup": r"""
 WITH words AS (

@@ -73,6 +73,65 @@ def validate_clip_sizes(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(check, batch_format="pyarrow")
 
 
+class VideoFrameSampleStage:
+    """STUB codec, real plumbing: sample every ``stride``-th frame of an
+    opaque video payload — one output row per sampled frame.
+
+    The container has no video libs, so ``fake`` mode treats the payload
+    as ``n_frames`` equal-size concatenated frames (deterministic, lets
+    tests pin byte-exact output); ``strict`` raises.  The Ray-side shape
+    is the real one: actor-pool ``map_batches`` with SMALL batches (wide
+    binary rows), frame slices taken as zero-copy memoryviews, and a
+    row-explode output layout ``(id, frame_idx, frame_bytes)`` ready for
+    a downstream feature stage.  At 100 TB keep ``stride`` high or chain
+    a feature stage in the SAME actor so raw frames never hit the object
+    store.
+    """
+
+    def __init__(self, stride: int = 10, mode: str = "fake",
+                 id_col: str = "clip_id"):
+        if mode not in ("fake", "strict"):
+            raise ValueError(mode)
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+        self.mode = mode
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                "video decoding requires pyav/opencv, not present in this "
+                "container; run with mode='fake' for plumbing tests")
+        ids, idxs, frames = [], [], []
+        payloads = batch["bytes"].to_pylist()
+        n_frames = batch["n_frames"].to_numpy()
+        id_vals = batch[self.id_col].to_pylist()
+        for rid, payload, nf in zip(id_vals, payloads, n_frames):
+            if not payload or nf <= 0:
+                continue
+            fs = len(payload) // int(nf)
+            mv = memoryview(payload)
+            for fi in range(0, int(nf), self.stride):
+                ids.append(rid)
+                idxs.append(fi)
+                frames.append(bytes(mv[fi * fs:(fi + 1) * fs]))
+        return pa.table({self.id_col: pa.array(ids),
+                         "frame_idx": pa.array(idxs, type=pa.int64()),
+                         "frame_bytes": pa.array(frames, type=pa.binary())})
+
+
+def sample_video_frames(ds: rd.Dataset, *, stride: int = 10,
+                        concurrency=(1, 8), batch_size: int = 64,
+                        id_col: str = "clip_id") -> rd.Dataset:
+    """Actor-pool frame sampling over an opaque video column."""
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs=dict(stride=stride, id_col=id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
 class ImageDecodeStage:
     """STUB: image decode plumbing (schema + actor shape are real; the
     codec is not available in this container).

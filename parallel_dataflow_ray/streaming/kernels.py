@@ -359,13 +359,35 @@ class AudioSpectral(StreamOpSpec):
                 "band_q": [x + y for x, y in zip(a["band_q"], b["band_q"])],
                 "mel_q": [x + y for x, y in zip(a["mel_q"], b["mel_q"])]}
 
+    # frames per FFT chunk: the (32, 1024) f64 FFT input + (32, 513)
+    # c128 output ≈ 800 KB stay L2-resident, so the spectrum is consumed
+    # (psd accumulate + mel matmul) while cache-hot.  Whole-clip
+    # batching streamed ~5 MB of float64/complex128 intermediates
+    # through DRAM per clip, which saturated memory bandwidth long
+    # before 32 cores were busy (measured: this host tops out ~64 GB/s
+    # total; 8 cores already drive 50).  Arithmetic intensity, not
+    # FLOPs, is what scales.  32 beats 16 on per-chunk Python overhead
+    # and 64+ on cache misses (measured sweep).
+    _FFT_CHUNK = 32
+
     def _clip_features(self, pcm: np.ndarray):
         F, H = self._FRAME, self._HOP
         if pcm.size < F:
             pcm = np.pad(pcm, (0, F - pcm.size))
         frames = np.lib.stride_tricks.sliding_window_view(pcm, F)[::H]
-        spec = np.abs(np.fft.rfft(frames * self._hann, axis=1)) ** 2
-        psd = spec.mean(axis=0, dtype=np.float64)
+        n = len(frames)
+        n_bins = F // 2 + 1
+        psd_sum = np.zeros(n_bins)
+        mel_frames = np.empty((n, self._N_MEL))
+        for i in range(0, n, self._FFT_CHUNK):
+            z = np.fft.rfft(frames[i:i + self._FFT_CHUNK] * self._hann,
+                            axis=1)
+            # |z|^2 as re^2+im^2: np.abs on complex is a hypot (sqrt)
+            # that the square immediately undoes — skip the round-trip
+            spec = np.square(z.real) + np.square(z.imag)
+            psd_sum += spec.sum(axis=0)
+            np.log1p(spec @ self._fb.T, out=mel_frames[i:i + self._FFT_CHUNK])
+        psd = psd_sum / n
         total = float(psd.sum()) or 1.0
         freqs = np.arange(psd.size) / psd.size
         centroid = float((freqs * psd).sum() / total)
@@ -373,7 +395,6 @@ class AudioSpectral(StreamOpSpec):
         bands = [float(psd[edges[i]:edges[i + 1]].sum() / total) for i in range(4)]
         # per-frame mel trajectory + temporal delta (the MFCC-ish shape a
         # real featurizer computes) — then clip-level summary
-        mel_frames = np.log1p(spec.astype(np.float64) @ self._fb.T)
         mel = mel_frames.mean(axis=0)
         tot = float(mel.sum()) or 1.0
         mel = mel / tot
