@@ -31,7 +31,8 @@ from ..stages import sampling as smp
 from ..stages import similarity as sim
 from ..stages import windows_batch as wb
 from ..stages.multimodal import audio_features
-from ..functions.text import fingerprint64, lang_id, quality_score_milli
+from ..functions.text import (_LANG_HINTS, fingerprint64, lang_id,
+                              quality_score_milli)
 from ..streaming import StreamEngine, TumblingWindows
 from ..streaming.kernels import AudioEnergy
 from ..streaming.partitioning import dataset_epochs, epochs_from_table
@@ -282,8 +283,8 @@ def exact_dedup_docs(sf_dir: str):
 
 
 def docs_quality(sf_dir: str):
-    """Quality features (rows-only check: regex-class semantics are not
-    replicated in SQL)."""
+    """Quality features (SQL-checked: ASCII fixture text makes the
+    pandas and RE2 regex classes agree — see _QUALITY_SQL)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
@@ -655,6 +656,63 @@ SELECT c.user_id, c.eu AS ts_left, p.eu AS ts_right,
 FROM c JOIN p ON c.user_id = p.user_id AND ABS(c.eu - p.eu) <= 1800000000
 """
 
+# docs_quality twin: valid because the fixture text is pure ASCII, where
+# pandas' unicode-aware \w/\s/\b and DuckDB's RE2 classes agree exactly.
+_QUALITY_SQL = r"""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+t AS (SELECT doc_id, text,
+             length(text) - length(replace(text, ' ', ''))
+               + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS n_tokens
+      FROM d)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST((1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+       // greatest(length(text), 1) AS BIGINT) AS alpha_ratio_milli,
+  CAST((1000 * length(regexp_replace(text, '[\w\s]', '', 'g')))
+       // greatest(length(text), 1) AS BIGINT) AS punct_ratio_milli,
+  CAST((1000 * (len(regexp_extract_all(text, '\bthe\b'))
+                + len(regexp_extract_all(text, '\band\b'))
+                + len(regexp_extract_all(text, '\bof\b'))
+                + len(regexp_extract_all(text, '\ba\b'))
+                + len(regexp_extract_all(text, '\bto\b'))))
+       // greatest(n_tokens, 1) AS BIGINT) AS stop_ratio_milli
+FROM t
+"""
+
+
+def _langid_sql() -> str:
+    """langid twin generated from the SAME _LANG_HINTS table the Ray
+    kernel reads: per-language trigram-containment score over the padded
+    lowered 500-char prefix, max score wins, ties to the earlier language
+    code (expressed as a strict-> CASE ladder from last to first), CJK
+    codepoint override, 'und' when no signal."""
+    langs = [lg for lg in sorted(_LANG_HINTS) if _LANG_HINTS[lg]]
+    scores = []
+    for lg in langs:
+        terms = " + ".join(
+            f"CASE WHEN position('{g}' IN padded) > 0 THEN 1 ELSE 0 END"
+            for g in _LANG_HINTS[lg])
+        scores.append(f"({terms}) AS s_{lg}")
+    ladder = []
+    for i in range(len(langs) - 1, 0, -1):
+        prior = ", ".join(f"s_{lg}" for lg in langs[:i])
+        ladder.append(
+            f"WHEN s_{langs[i]} > greatest({prior}, 0) THEN '{langs[i]}'")
+    ladder.append(f"WHEN s_{langs[0]} > 0 THEN '{langs[0]}'")
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         ' ' || lower(substr(COALESCE(text, ''), 1, 500)) || ' ' AS padded,
+         regexp_matches(substr(COALESCE(text, ''), 1, 200), '[一-鿿]') AS cjk
+  FROM documents
+), s AS (SELECT doc_id, cjk, {", ".join(scores)} FROM p)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh' {" ".join(ladder)} ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
 ORACLE_SQL = {
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -811,9 +869,12 @@ GROUP BY n.node
     "stream_sliding_events": _SLIDING_SQL,
     "stream_session_events": _SESSION_SQL,
     "stream_join_events": _JOIN_SQL,
-    # rows-only (non-SQL-expressible): docs_quality, langid_docs,
-    # fingerprint_docs, minhash_neardup, simhash_neardup, ivf_topk,
-    # stream_audio_energy, audio_features
+    "docs_quality": _QUALITY_SQL,
+    "langid_docs": _langid_sql(),
+    # rows-only (non-SQL-expressible): fingerprint_docs (SipHash keyed
+    # hash has no DuckDB twin), minhash_neardup, simhash_neardup
+    # (sketches), ivf_topk (approximate), stream_audio_energy,
+    # audio_features (engine-specific audio DSP)
 }
 
 
