@@ -58,15 +58,18 @@ def bench_streaming(tmpdir: str) -> dict:
     from parallel_dataflow_ray.streaming.kernels import AudioSpectral
     from parallel_dataflow_ray.streaming.partitioning import parquet_epochs
 
-    gen_path = os.path.join(tmpdir, f"clips_{STREAM_CLIPS}_{STREAM_EPOCH_ROWS}_s1k")
+    gen_path = os.path.join(tmpdir, f"clips_{STREAM_CLIPS}_{STREAM_EPOCH_ROWS}_s1k_rg")
     t0 = time.perf_counter()
     if not os.path.exists(gen_path):
         # 1000 speakers: smooth hash balance across partitions (a 32-key
         # space into 16 partitions is balls-in-bins skew-bound — real streams
-        # have high key cardinality; hot-key salting covers the skewed case)
+        # have high key cardinality; hot-key salting covers the skewed case).
+        # 500-row row groups: combine-mode split tasks fan per row-group
+        # range, so intra-epoch fold parallelism is rows/500, not 1.
         clips_dataset(STREAM_CLIPS, seed=42, lateness_ms=40, n_speakers=1000,
                       blocks=max(1, STREAM_CLIPS // STREAM_EPOCH_ROWS)) \
-            .write_parquet(gen_path, min_rows_per_file=STREAM_EPOCH_ROWS)
+            .write_parquet(gen_path, min_rows_per_file=STREAM_EPOCH_ROWS,
+                           row_group_size=500)
     # epochs = parquet fragments; rows never pass through the driver
     epochs = parquet_epochs(gen_path)
     # warm the page cache (perf.rs-style cache control, inverted: measure

@@ -199,12 +199,18 @@ def asof_signup_before_error(sf_dir: str):
         batch_format="pandas")
     joined = asof_join(errors, signups, key="user_id", ts="eu",
                        right_values=["signup_event_id"], suffix="")
-    out = joined.to_pandas().dropna(subset=["signup_event_id"])
-    out["signup_event_id"] = out["signup_event_id"].astype("int64")
-    # the tagged-union null-fill in asof_join promotes left columns to
-    # float64 (pandas); restore the oracle's int64 (r1 CORRECTNESS fail)
-    out["event_id"] = out["event_id"].astype("int64")
-    return out[["event_id", "user_id", "signup_event_id"]].reset_index(drop=True)
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.dropna(subset=["signup_event_id"])
+        # the tagged-union null-fill in asof_join promotes left columns
+        # to float64 (pandas); restore the oracle's int64 (r1
+        # CORRECTNESS fail).  Per-batch: the result never gathers on
+        # the driver.
+        out = out.assign(
+            signup_event_id=out["signup_event_id"].astype("int64"),
+            event_id=out["event_id"].astype("int64"))
+        return out[["event_id", "user_id", "signup_event_id"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

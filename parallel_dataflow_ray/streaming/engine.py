@@ -57,18 +57,35 @@ END_WM = 2**62
 
 
 def _do_split(source, key_column: str, num_partitions: int,
-              salted_keys: dict | None, columns: list | None = None):
+              salted_keys: dict | None, columns: list | None = None,
+              combine: dict | None = None):
     """Shuffle-map body: one input block (in-memory table or a parquet
     fragment descriptor — read HERE, so ingest I/O scales with the
-    cluster) -> P hash shards."""
+    cluster) -> P hash shards.
+
+    With ``combine`` set ({"spec", "assigner", "ts_column", "wm_prev"}),
+    the block is folded map-side into per-(key, window) PARTIAL states
+    and only those (plus row/late accounting) ship — the raw value
+    payload (e.g. PCM bytes) never enters the object store.  This is
+    the streaming analog of map-side combine before a groupby."""
     from .partitioning import load_epoch
 
-    table = load_epoch(source)
+    cols = list(columns) + ["__stream"] if columns else None
+    table = load_epoch(source, columns=cols)
     if columns:
         keep = [c for c in columns if c in table.column_names]
         if "__stream" in table.column_names:
             keep.append("__stream")
         table = table.select(keep)
+    if combine is not None:
+        from .operators import combine_window_block
+
+        payloads = combine_window_block(
+            table, combine["spec"], combine["assigner"],
+            combine["ts_column"], combine["wm_prev"], num_partitions)
+        if num_partitions == 1:
+            return payloads[0]
+        return tuple(payloads)
     shards = split_by_partition(table, key_column, num_partitions,
                                 salted_keys=salted_keys)
     if num_partitions == 1:
@@ -78,9 +95,10 @@ def _do_split(source, key_column: str, num_partitions: int,
 
 @ray.remote
 def _split_block(source, key_column, num_partitions, salted_keys,
-                 columns=None):
+                 columns=None, combine=None):
     """Stateless task variant (kept for one-shot runs)."""
-    return _do_split(source, key_column, num_partitions, salted_keys, columns)
+    return _do_split(source, key_column, num_partitions, salted_keys,
+                     columns, combine)
 
 
 @ray.remote(num_cpus=0)
@@ -90,12 +108,14 @@ class SplitWorker:
     the CPU soft limit, and respawning them (process fork + imports) in
     the middle of a stream showed up as multi-second ingest stalls.
     Long-lived map-side workers are also the production shape — the
-    reader processes of a streaming source are pinned, not ephemeral."""
+    reader processes of a streaming source are pinned, not ephemeral.
+    In combine mode this pool carries the operator's fold compute, so
+    the engine sizes it to the CPU count instead of the prefetch depth."""
 
     def split(self, source, key_column, num_partitions, salted_keys,
-              columns=None):
+              columns=None, combine=None):
         return _do_split(source, key_column, num_partitions, salted_keys,
-                         columns)
+                         columns, combine)
 
 
 @ray.remote(num_cpus=0.25)
@@ -166,6 +186,12 @@ class PartitionWorker:
             shards = ray.get(list(shards))
         self._wait_s = self._time.perf_counter() - t0
         for shard in shards:
+            if isinstance(shard, dict):
+                # map-side-combined payload: partial states + accounting
+                if shard["max_offset"] > self.max_offset:
+                    self.max_offset = shard["max_offset"]
+                self.op.ingest_partials(shard)
+                continue
             if shard.num_rows:
                 mo = pc.max(shard["offset"]).as_py()
                 if mo is not None and mo > self.max_offset:
@@ -247,7 +273,8 @@ class StreamEngine:
                  salted_keys: dict[Any, int] | None = None,
                  shuffle_columns: list[str] | None = None,
                  sink_durable: bool = True,
-                 hot_key_config: dict | None = None):
+                 hot_key_config: dict | None = None,
+                 map_side_combine: bool | str = "auto"):
         self.op_kind = op_kind
         self.op_kwargs = op_kwargs
         self.P = num_partitions
@@ -292,6 +319,40 @@ class StreamEngine:
         self._pkc: dict[int, dict] = {}    # partition -> {key: cum count}
         self._last_rows: dict[int, int] = {}
         self._cur_workers: list | None = None
+        #: map-side combine: fold per-(key, window) partials in the
+        #: split task and ship ONLY partials — legal exactly when salted
+        #: splitting is legal (semilattice merge over disjoint row
+        #: subsets).  "auto" turns it on for incremental tumbling/
+        #: sliding window specs exposing update_table, unless skew
+        #: salting / runtime hot-key detection is in play (combining
+        #: already collapses a hot key to <=1 partial per block, so
+        #: those row-path modes are kept as-is for their own tests).
+        assigner = op_kwargs.get("assigner")
+        combinable = (op_kind == "window" and isinstance(spec, StreamOpSpec)
+                      and spec.incremental and hasattr(spec, "update_table")
+                      and getattr(assigner, "kind", None) in ("tumbling",
+                                                              "sliding"))
+        if map_side_combine == "auto":
+            self.combine = (combinable and not self.salted_keys
+                            and not self.hot_key_config)
+        else:
+            self.combine = bool(map_side_combine)
+            if self.combine and not combinable:
+                raise ValueError("map_side_combine requires an incremental "
+                                 "tumbling/sliding window spec with "
+                                 "update_table")
+            if self.combine and (self.salted_keys or self.hot_key_config):
+                raise ValueError("map_side_combine subsumes skew salting; "
+                                 "configure one or the other")
+        self._combine_info = ({"spec": spec, "assigner": assigner}
+                              if self.combine else None)
+        #: target rows per combine-mode split task (fold granularity)
+        self.combine_split_rows = 1000
+        #: logical CPUs per combine fold task: fractional so the task
+        #: count mildly oversubscribes the free cores (8-CPU node with
+        #: P=6 light partition actors -> 8 concurrent folds, not 6),
+        #: hiding each task's read phase behind another's compute
+        self.combine_task_cpus = 0.75
         # shuffle column pruning: key + time + lineage + what the spec reads
         if shuffle_columns is None and isinstance(spec, StreamOpSpec) and spec.value_columns:
             shuffle_columns = list(dict.fromkeys(
@@ -341,8 +402,14 @@ class StreamEngine:
             # same processes, state freshly reset via reset_state()
             workers = self._workers
         else:
+            # combine mode: the fold lives in the split tasks, so the
+            # partition actors (merge partials + sink) need only a light
+            # reservation — otherwise P idle actors would hold the CPUs
+            # the fold tasks should be running on
+            part_cpus = (min(self.actor_num_cpus, 0.25) if self.combine
+                         else self.actor_num_cpus)
             workers = [
-                PartitionWorker.options(num_cpus=self.actor_num_cpus)
+                PartitionWorker.options(num_cpus=part_cpus)
                 .remote(p, self.op_kind, self.op_kwargs, self.sink_root,
                         self.ckpt_root,
                         frozenset(self.salted_keys) if self.salted_keys else frozenset(),
@@ -351,7 +418,8 @@ class StreamEngine:
             ]
             # zero-CPU actors: concurrency is bounded by the pool size, and
             # a zero logical footprint can never deadlock against the
-            # partition actors' reservations on a small node
+            # partition actors' reservations on a small node.  (Combine
+            # mode bypasses this pool — see _split_epoch.)
             n_split = max(2, min(self.split_prefetch, self.P))
             self._splitters = [SplitWorker.remote() for _ in range(n_split)]
             self._split_rr = 0
@@ -382,10 +450,17 @@ class StreamEngine:
                 cp = commit_partitions if is_last else None
                 wm_prev = wm_sched[e - 1] if e > 0 else MIN_TS
                 # prefetch shuffle-map tasks ahead of the actor pipeline so
-                # actors never stall waiting for a split
-                for ee in schedule[i:i + self.split_prefetch]:
+                # actors never stall waiting for a split (combine mode:
+                # the splits ARE the compute, so prefetch at least the
+                # full split pool's width to keep every worker busy)
+                prefetch = self.split_prefetch
+                if self.combine:
+                    prefetch = max(prefetch, len(self._splitters) + 4)
+                for ee in schedule[i:i + prefetch]:
                     if ee not in split_cache:
-                        split_cache[ee] = self._split_epoch(epochs[ee])
+                        wp = wm_sched[ee - 1] if ee > 0 else MIN_TS
+                        split_cache[ee] = self._split_epoch(
+                            epochs[ee], wm_prev=wp, ts_column=ts_column)
                 per_part = split_cache.pop(e)
                 if self.salted_keys:
                     # two-phase path needs a barrier to route partials
@@ -440,25 +515,55 @@ class StreamEngine:
             self._workers = None
             self._splitters = []
 
-    def _split_epoch(self, source) -> list[list]:
+    def _split_epoch(self, source, wm_prev: int = MIN_TS,
+                     ts_column: str = "event_ts") -> list[list]:
         per_part: list[list] = [[] for _ in range(self.P)]
         if source is None:
             return per_part
         if isinstance(source, dict):
-            blocks = [source]  # fragment: the split worker reads it itself
+            # fragment: the split worker reads it itself.  In combine
+            # mode the split task IS the fold, so one task per fragment
+            # caps intra-epoch parallelism at 1 — fan the fragment into
+            # row-group-range sub-tasks (~combine_split_rows rows each;
+            # the pruned read loads only those row groups' column
+            # chunks), the Lance/parquet analog of task-per-row-group.
+            ngs = source.get("num_row_groups", 1)
+            if self.combine and ngs > 1 and "rg_start" not in source:
+                rows = source.get("rows", 0) or 1
+                per = max(1, round(ngs * self.combine_split_rows / rows))
+                blocks = [dict(source, rg_start=g,
+                               rg_count=min(per, ngs - g))
+                          for g in range(0, ngs, per)]
+            else:
+                blocks = [source]
         elif source.num_rows == 0:
             return per_part
         else:
             blocks = self._blocks(source)
+        combine = (dict(self._combine_info, ts_column=ts_column,
+                        wm_prev=wm_prev)
+                   if self._combine_info is not None else None)
         nr = 1 if self.P == 1 else self.P
         split_refs = []
         for b in blocks:
+            if combine is not None:
+                # combine fold = real compute: a stateless num_cpus=1
+                # task on the CENTRAL queue, so Ray load-balances across
+                # whatever cores the light partition reservations leave
+                # free — round-robin over a fixed actor pool would pin
+                # variable-duration folds to queues and create stragglers
+                split_refs.append(
+                    _split_block.options(num_cpus=self.combine_task_cpus,
+                                         num_returns=nr)
+                    .remote(b, self.key_column, self.P, self.salted_keys,
+                            self.shuffle_columns, combine))
+                continue
             s = self._splitters[self._split_rr % len(self._splitters)]
             self._split_rr += 1
             split_refs.append(
                 s.split.options(num_returns=nr)
                 .remote(b, self.key_column, self.P, self.salted_keys,
-                        self.shuffle_columns))
+                        self.shuffle_columns, combine))
         for refs in split_refs:
             if self.P == 1:
                 per_part[0].append(refs)

@@ -36,6 +36,98 @@ def _sort_rows(rows: list[dict], reverse: bool) -> list[dict]:
     return sorted(rows, key=lambda r: (r["event_ts"], r["offset"]), reverse=reverse)
 
 
+def _window_runs(table: pa.Table, spec, assigner, ts_column: str,
+                 wm_prev: int):
+    """Vectorized (key, window) run-grouping shared by the partition
+    fast path and the map-side combiner: assign every non-late row to
+    its covering pane(s), sort indices by (key, window), and return
+    ``(sorted_tbl, runs, kcodes, kuniq, late)`` with ``runs`` =
+    ``[(kcode, window, start, end)]`` over ``sorted_tbl`` slices and
+    ``late`` the per-input-row late mask (tumbling: the row's single
+    pane closed; sliding: even its NEWEST pane closed — matching the
+    row path's "no pane accepted")."""
+    import pandas as pd
+
+    n = table.num_rows
+    ts = table[ts_column].cast(pa.int64()).to_numpy()
+    size = assigner.size_us
+    keys = table[spec.key_column].to_pylist()
+    kcodes, kuniq = pd.factorize(np.asarray(keys, dtype=object))
+    if assigner.kind == "tumbling":
+        idx = np.arange(n)
+        ws = (ts // size) * size
+        late = wm_prev >= ws + size
+        keep = ~late
+        idx, ws = idx[keep], ws[keep]
+    else:
+        slide = assigner.slide_us
+        n_panes = (size - 1) // slide + 1
+        last = (ts // slide) * slide
+        late = wm_prev >= last + size
+        idxs, wss = [], []
+        for j in range(n_panes):
+            s = last - j * slide
+            m = (~late) & (ts < s + size) & (wm_prev < s + size)
+            sel = np.nonzero(m)[0]
+            idxs.append(sel)
+            wss.append(s[sel])
+        idx = np.concatenate(idxs)
+        ws = np.concatenate(wss)
+    if idx.size == 0:
+        return None, [], kcodes, kuniq, late
+    kc = kcodes[idx]
+    order = np.lexsort((ws, kc))
+    idx_s, kc_s, ws_s = idx[order], kc[order], ws[order]
+    sorted_tbl = table.take(pa.array(idx_s))
+    # run boundaries where (key, window) changes
+    change = np.empty(idx_s.size, dtype=bool)
+    change[0] = True
+    np.logical_or(np.diff(kc_s) != 0, np.diff(ws_s) != 0, out=change[1:])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], idx_s.size)
+    runs = [(int(kc_s[s]), (int(ws_s[s]), int(ws_s[s]) + size), int(s), int(e))
+            for s, e in zip(starts, ends)]
+    return sorted_tbl, runs, kcodes, kuniq, late
+
+
+def combine_window_block(table: pa.Table, spec, assigner, ts_column: str,
+                         wm_prev: int, num_partitions: int) -> list[dict]:
+    """Map-side combiner (shuffle-map body in combine mode): fold one
+    input block's rows into per-(key, window) PARTIAL states and route
+    them by key hash, so only partials — not raw rows/payload bytes —
+    enter the object store.  Legal exactly when salted-key splitting is
+    legal: ``spec.merge`` over states built from disjoint row subsets
+    (the semilattice contract, spec.py).  Returns one payload dict per
+    partition: ``{"partials": [(key, window, state)], "rows": routed
+    row count (late included), "late": routed late count,
+    "max_offset": max routed offset or -1}`` — the same per-partition
+    accounting the row path produces."""
+    from .partitioning import partition_ids
+
+    sorted_tbl, runs, kcodes, kuniq, late = _window_runs(
+        table, spec, assigner, ts_column, wm_prev)
+    upids = (partition_ids(list(kuniq), num_partitions)
+             if len(kuniq) else np.empty(0, np.int64))
+    payloads = [{"partials": [], "rows": 0, "late": 0, "max_offset": -1}
+                for _ in range(num_partitions)]
+    if table.num_rows:
+        row_pid = upids[kcodes]
+        offsets = table["offset"].to_numpy(zero_copy_only=False)
+        rows_p = np.bincount(row_pid, minlength=num_partitions)
+        late_p = np.bincount(row_pid[late], minlength=num_partitions)
+        mo = np.full(num_partitions, -1, dtype=np.int64)
+        np.maximum.at(mo, row_pid, offsets)
+        for p in range(num_partitions):
+            payloads[p]["rows"] = int(rows_p[p])
+            payloads[p]["late"] = int(late_p[p])
+            payloads[p]["max_offset"] = int(mo[p])
+    for kc, w, s, e in runs:
+        state = spec.update_table(spec.initial_state(),
+                                  sorted_tbl.slice(s, e - s))
+        payloads[int(upids[kc])]["partials"].append((kuniq[kc], w, state))
+    return payloads
+
+
 class WindowedAggregateOp:
     """Tumbling/sliding windowed aggregate over a ``StreamOpSpec``."""
 
@@ -101,55 +193,14 @@ class WindowedAggregateOp:
         slide) panes) before the same run-grouping — the batch-layer
         ``explode_sliding`` shape, kept columnar."""
         import heapq as _hq
-        import numpy as np
-        import pandas as pd
 
         spec = self.spec
-        n = table.num_rows
-        self.rows_seen += n
-        ts = table[self.ts_column].cast(pa.int64()).to_numpy()
-        size = self.assigner.size_us
-        keys = table[spec.key_column].to_pylist()
-        kcodes, kuniq = pd.factorize(np.asarray(keys, dtype=object))
-        if self.assigner.kind == "tumbling":
-            idx = np.arange(n)
-            ws = (ts // size) * size
-            late = wm_prev >= ws + size
-        else:
-            slide = self.assigner.slide_us
-            n_panes = (size - 1) // slide + 1
-            last = (ts // slide) * slide
-            # a row is late iff even its NEWEST pane (end = last + size)
-            # is closed — matching the row path's "no pane accepted"
-            late = wm_prev >= last + size
-            idxs, wss = [], []
-            for j in range(n_panes):
-                s = last - j * slide
-                m = (~late) & (ts < s + size) & (wm_prev < s + size)
-                sel = np.nonzero(m)[0]
-                idxs.append(sel)
-                wss.append(s[sel])
-            idx = np.concatenate(idxs)
-            ws = np.concatenate(wss)
+        self.rows_seen += table.num_rows
+        sorted_tbl, runs, _, kuniq, late = _window_runs(
+            table, spec, self.assigner, self.ts_column, wm_prev)
         self.late_rows += int(late.sum())
-        if self.assigner.kind == "tumbling":
-            keep = ~late
-            idx, ws = idx[keep], ws[keep]
-        if idx.size == 0:
-            return
-        kc = kcodes[idx]
-        order = np.lexsort((ws, kc))
-        idx_s, kc_s, ws_s = idx[order], kc[order], ws[order]
-        sorted_tbl = table.take(pa.array(idx_s))
-        # run boundaries where (key, window) changes
-        change = np.empty(idx_s.size, dtype=bool)
-        change[0] = True
-        np.logical_or(np.diff(kc_s) != 0, np.diff(ws_s) != 0, out=change[1:])
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], idx_s.size)
-        for s, e in zip(starts, ends):
-            w = (int(ws_s[s]), int(ws_s[s]) + size)
-            key = kuniq[kc_s[s]]
+        for kc, w, s, e in runs:
+            key = kuniq[kc]
             kw = (key, w)
             if kw not in self.states:
                 self.states[kw] = spec.initial_state()
@@ -157,6 +208,28 @@ class WindowedAggregateOp:
                 self.live.add(kw)
             self.states[kw] = spec.update_table(self.states[kw],
                                                 sorted_tbl.slice(s, e - s))
+
+    def ingest_partials(self, payload: dict) -> None:
+        """Map-side-combined ingest: merge per-(key, window) partial
+        states produced by :func:`combine_window_block` (the same
+        ``spec.merge`` the salted-key owner path relies on), plus the
+        block's routed row/late accounting.  A partial's window can
+        never already be closed here: the split evaluated lateness with
+        this epoch's ``wm_prev``, and watermarks are monotone."""
+        import heapq as _hq
+
+        self.rows_seen += payload["rows"]
+        self.late_rows += payload["late"]
+        spec = self.spec
+        for key, w, state in payload["partials"]:
+            kw = (key, w)
+            cur = self.states.get(kw)
+            if cur is None:
+                self.states[kw] = state
+                _hq.heappush(self.heap, (w[1], key, w))
+                self.live.add(kw)
+            else:
+                self.states[kw] = spec.merge(cur, state)
 
     def on_watermark(self, wm: int) -> list[dict]:
         rows, partials = self.on_watermark_split(wm)

@@ -136,6 +136,7 @@ def parquet_epochs(dir_path: str, ts_column: str = "event_ts",
             mo = off_stats.min
             min_off = mo if min_off is None else min(min_off, mo)
         epochs.append({"path": path, "rows": md.num_rows,
+                       "num_row_groups": md.num_row_groups,
                        "max_ts_us": int(max_ts), "min_offset": int(min_off)})
     epochs.sort(key=lambda e: e["min_offset"])
     return epochs
@@ -169,9 +170,12 @@ def dataset_epochs(ds, ts_column: str = "event_ts",
     return epochs
 
 
-def load_epoch(source) -> pa.Table:
+def load_epoch(source, columns: list | None = None) -> pa.Table:
     """Resolve an epoch source (in-memory table, object-store block ref,
-    or parquet fragment descriptor)."""
+    or parquet fragment descriptor — optionally a row-group range of the
+    fragment via ``rg_start``/``rg_count``).  ``columns`` prunes the
+    PHYSICAL read for fragment sources (only those column chunks leave
+    storage); in-memory sources are returned as-is (the caller selects)."""
     if isinstance(source, pa.Table):
         return source
     if "ref" in source:
@@ -180,7 +184,16 @@ def load_epoch(source) -> pa.Table:
         return ray.get(source["ref"])
     import pyarrow.parquet as pq
 
-    return pq.read_table(source["path"])
+    pf = pq.ParquetFile(source["path"])
+    cols = None
+    if columns:
+        avail = set(pf.schema_arrow.names)
+        cols = [c for c in columns if c in avail]
+    if "rg_start" in source:
+        groups = list(range(source["rg_start"],
+                            source["rg_start"] + source["rg_count"]))
+        return pf.read_row_groups(groups, columns=cols)
+    return pf.read(columns=cols)
 
 
 def interleave_streams(left: pa.Table, right: pa.Table) -> pa.Table:
