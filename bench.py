@@ -34,7 +34,8 @@ BATCH_QUERIES = [
     "broadcast_region_count", "topk_orders", "props_k_by_type",
     "tumbling_events", "sliding_events", "session_events",
     "token_stats", "exact_dedup_docs", "minhash_neardup",
-    "knn_topk", "stream_tumbling_events",
+    "knn_topk", "ann_self_topk", "quantiles_lineitem",
+    "approx_distinct_users", "stream_tumbling_events",
 ]
 
 

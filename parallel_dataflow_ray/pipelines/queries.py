@@ -407,6 +407,41 @@ def ivf_topk_q(sf_dir: str):
     return out
 
 
+def ann_self_topk(sf_dir: str):
+    """Exact cosine top-5 neighbors for EVERY vector — distributed
+    block-pair self-join (no all-pairs matrix in one place); oracle is a
+    DuckDB self-join + ROW_NUMBER over the quantized similarity."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.self_join_topk(ds, k=5)
+
+
+def quantiles_lineitem(sf_dir: str):
+    """Distributed exact group quantiles (histogram-partial shuffle,
+    percentile_disc semantics) over quantized extended price."""
+    from ..stages.sketches import grouped_quantiles
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    ds = ds.map_batches(_cents_col("l_extendedprice", "price_cents"),
+                        batch_format="pyarrow", batch_size=65536) \
+           .select_columns(["l_returnflag", "l_linestatus", "price_cents"])
+    return grouped_quantiles(ds, ["l_returnflag", "l_linestatus"],
+                             "price_cents", [0.5, 0.9, 0.99],
+                             ["p50_cents", "p90_cents", "p99_cents"],
+                             count_as="n_rows")
+
+
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog per-group distinct estimate (4 KB mergeable register
+    partials; rows-only — the estimate has no DuckDB twin, the <=5 %
+    error bound vs exact COUNT(DISTINCT) is asserted in
+    tests/test_sketches.py)."""
+    from ..stages.sketches import grouped_approx_distinct
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_approx_distinct(ds, ["event_type"], "user_id",
+                                  out="approx_users")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # streaming engine on the events table (SQL-checkable CEP path)
 # ---------------------------------------------------------------------------
@@ -610,6 +645,9 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
     "ivf_topk": ivf_topk_q,
+    "ann_self_topk": ann_self_topk,
+    "quantiles_lineitem": quantiles_lineitem,
+    "approx_distinct_users": approx_distinct_users,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_sliding_events": stream_sliding_events,
     "stream_session_events": stream_session_events,
@@ -870,6 +908,30 @@ SELECT CAST(n.node AS BIGINT) AS vec_id,
        CAST(LEAST(n.node, MIN(r.dst)) AS BIGINT) AS cluster_id
 FROM nodes n JOIN reach r ON r.src = n.node
 GROUP BY n.node
+""",
+    "ann_self_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(ROUND(list_cosine_similarity(a.v, b.v)*1000) AS BIGINT)
+               AS cos_milli
+      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_milli DESC, neighbor_id) rnk
+      FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cos_milli
+FROM r WHERE rnk <= 5
+""",
+    "quantiles_lineitem": """
+WITH l AS (SELECT l_returnflag, l_linestatus,
+                  CAST(ROUND(l_extendedprice*100) AS BIGINT) AS vc
+           FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vc) AS BIGINT) AS p50_cents,
+  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY vc) AS BIGINT) AS p90_cents,
+  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY vc) AS BIGINT) AS p99_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM l GROUP BY 1, 2
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
     "stream_sliding_events": _SLIDING_SQL,

@@ -134,3 +134,96 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int, *,
         columns=["query_id", id_col, "cos", "rank"])
     res["cos_milli"] = np.rint(res["cos"].astype(float) * 1000).astype(np.int64)
     return res[["query_id", "rank", id_col, "cos_milli"]]
+
+
+def self_join_topk(ds: rd.Dataset, k: int, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", num_blocks: int = 8
+                   ) -> rd.Dataset:
+    """ANN self-join: every vector's exact cosine top-k neighbors —
+    (query_id, rank, neighbor_id, cos_milli) — fully distributed.
+
+    Same block-pair decomposition as ``embedding_neardup_pairs``
+    (stages/dedup.py): each vector is replicated to its B unordered
+    block pairs, one bucketed-groupby task per pair runs a vectorized
+    matmul and keeps only each row's LOCAL top-k candidates (ordered by
+    the composite key ``cos_milli * 2^41 - neighbor_id``, i.e. quantized
+    similarity desc then id asc — quantized so ranking is bit-stable
+    against the DuckDB oracle's ROUND(...*1000)).  A second bucketed
+    groupby on query_id merges the <= B*k candidates per row into the
+    global exact top-k.  Nothing row-count-squared ever materializes in
+    one place; per-task cost is (n/B)^2 like the near-dup search.
+
+    Assumes ids < 2^41 (composite-key headroom); raise the shift for
+    wider id spaces.
+    """
+    from .relational import bucketed_groupby
+    from ..streaming.partitioning import stable_hash
+
+    B = max(1, int(num_blocks))
+    SHIFT = np.int64(1) << np.int64(41)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = batch[id_col].to_numpy()
+        blk = (stable_hash(ids) % np.uint64(B)).astype(np.int64)
+        outs = []
+        for o in range(B):
+            outs.append(pd.DataFrame({
+                id_col: ids, "__vec": list(m), "__blk": blk,
+                "__b1": np.minimum(blk, o), "__b2": np.maximum(blk, o)}))
+        return pd.concat(outs, ignore_index=True)
+
+    def _local_topk(q_ids, nb_ids, qm) -> pd.DataFrame:
+        """Per-row top-k candidates from a quantized (rows x cols) sim
+        block; qm values already int64 milli."""
+        key = qm * SHIFT - nb_ids[None, :].astype(np.int64)
+        kk = min(k, key.shape[1])
+        part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = part.ravel()
+        return pd.DataFrame({
+            "query_id": rows.astype(np.int64),
+            "neighbor_id": nb_ids[cols].astype(np.int64),
+            "cos_milli": qm[np.repeat(np.arange(len(q_ids)), kk), cols]})
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (b1, b2), sub in g.groupby(["__b1", "__b2"], sort=False):
+            if b1 == b2:
+                ids = sub[id_col].to_numpy()
+                X = np.stack(sub["__vec"].to_numpy())
+                qm = np.rint((X @ X.T) * 1000).astype(np.int64)
+                np.fill_diagonal(qm, np.int64(-(1 << 20)))  # exclude self
+                outs.append(_local_topk(ids, ids, qm))
+            else:
+                la = sub[sub["__blk"] == b1]
+                lb = sub[sub["__blk"] == b2]
+                if la.empty or lb.empty:
+                    continue
+                A = np.stack(la["__vec"].to_numpy())
+                Bm = np.stack(lb["__vec"].to_numpy())
+                qm = np.rint((A @ Bm.T) * 1000).astype(np.int64)
+                ia = la[id_col].to_numpy()
+                ib = lb[id_col].to_numpy()
+                outs.append(_local_topk(ia, ib, qm))
+                outs.append(_local_topk(ib, ia, qm.T.copy()))
+        if not outs:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cos_milli": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = bucketed_groupby(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["__b1", "__b2"], per_pair, num_buckets=B * (B + 1) // 2)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["cos_milli"] > -(1 << 20)]  # drop self-sentinel candidates
+        g = g.sort_values(["query_id", "cos_milli", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        return g[["query_id", "rank", "neighbor_id", "cos_milli"]]
+
+    return bucketed_groupby(cand, ["query_id"], merge)

@@ -1,0 +1,169 @@
+"""Mergeable-sketch aggregates: distributed exact group quantiles and
+HyperLogLog approximate distinct counts.
+
+Both follow the engine-wide partial+final shape (the graft of the
+reference's partial ``meet`` + exit ``meet``, impls/src/sequential.rs:
+32-37,52-58): a map-side combiner collapses each batch to a tiny,
+order-independent partial; a bucketed final merge folds partials per
+key.  Nothing row-sized crosses the shuffle.
+
+Quantiles are EXACT over integer-quantized values: the partial is a
+per-(key, value) count — bounded by the distinct-value count of the
+quantized domain, not the row count — and ``percentile_disc``
+semantics (smallest value whose cumulative count reaches ``q * n``,
+verified against DuckDB empirically) are recovered from the merged
+count distribution.  This is the classic distributed exact quantile
+for bounded domains; for unbounded/float domains swap the value map
+for a fixed-width histogram and the same plumbing yields
+epsilon-approximate quantiles.
+
+HyperLogLog: p-bit register sketch (Flajolet et al., AMS 2007 HLL with
+the standard small-range correction).  The partial is a 2^p-byte
+register array; merge is an elementwise max — associative, commutative
+and idempotent, so replays and arbitrary fold orders are safe (the
+same delivery guarantees the streaming kernels are tested under).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .relational import bucketed_groupby
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles over quantized values
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(ds: rd.Dataset, keys: list[str], val_col: str,
+                      qs: list[float], out_names: list[str],
+                      count_as: str | None = None,
+                      num_buckets: int = 64) -> rd.Dataset:
+    """Per-group ``percentile_disc`` quantiles of an int64 column.
+
+    Map side: per-batch ``(keys, value) -> count`` (one partial row per
+    distinct value per batch — the shuffle moves the value histogram,
+    never the rows).  Final: merge counts per key, cumulative-sum the
+    sorted value domain, read each quantile as the first value whose
+    cumulative count reaches ``q * n`` (DuckDB ``percentile_disc``
+    semantics, bit-compatible because both sides compute ``q * n`` with
+    the same IEEE double multiply).
+    """
+
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(keys + [val_col], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "__n"})
+
+    partial = ds.map_batches(local_counts, batch_format="pandas",
+                             batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            vc = sub.groupby(val_col, sort=True)["__n"].sum()
+            vals = vc.index.to_numpy()
+            cum = vc.to_numpy().cumsum()
+            n = cum[-1]
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            row = dict(zip(keys, kv))
+            for q, name in zip(qs, out_names):
+                row[name] = int(vals[np.searchsorted(cum, q * n, side="left")])
+            if count_as:
+                row[count_as] = int(n)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return bucketed_groupby(partial, keys, final, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12                      # 4096 registers -> ~1.6 % std error
+_HLL_M = 1 << _HLL_P
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for nonzero uint64 (6 halvings)."""
+    w = w.copy()
+    res = np.zeros(w.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = w >> np.uint64(64 - s)
+        zero = hi == np.uint64(0)
+        res += np.where(zero, s, 0)
+        w = np.where(zero, w << np.uint64(s), w)
+    return res
+
+
+def hll_registers(values) -> np.ndarray:
+    """uint8[4096] register partial for one batch of values."""
+    h = pd.util.hash_array(np.asarray(values, dtype=object),
+                           categorize=False).astype(np.uint64)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    # sentinel bit below the register index keeps w nonzero and caps the
+    # rank at 64 - p + 1 (the standard HLL trick)
+    w = (h << np.uint64(_HLL_P)) | np.uint64(1 << (_HLL_P - 1))
+    rank = (_clz64(w) + 1).astype(np.uint8)
+    reg = np.zeros(_HLL_M, dtype=np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(reg: np.ndarray) -> int:
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.ldexp(1.0, -reg.astype(np.int64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)        # linear-counting small range
+    return int(round(est))
+
+
+def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], val_col: str,
+                            out: str = "approx_distinct",
+                            num_buckets: int = 64) -> rd.Dataset:
+    """Per-group HLL distinct-count estimate.
+
+    Map side: one 4 KB register row per (batch, key).  Final: per-key
+    elementwise-max merge + estimate.  At 100 TB the shuffle carries
+    4 KB x #keys x #batches — independent of row count — and the merge
+    is a np.maximum reduce; no exact-distinct shuffle of the raw values
+    ever happens.
+    """
+
+    def local_sketch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in b.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            row = dict(zip(keys, kv))
+            row["__reg"] = hll_registers(sub[val_col].to_numpy()).tobytes()
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    partial = ds.map_batches(local_sketch, batch_format="pandas",
+                             batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            regs = np.frombuffer(
+                b"".join(sub["__reg"].tolist()), dtype=np.uint8
+            ).reshape(-1, _HLL_M)
+            merged = regs.max(axis=0)
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            row = dict(zip(keys, kv))
+            row[out] = hll_estimate(merged)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return bucketed_groupby(partial, keys, final, num_buckets)

@@ -1,0 +1,115 @@
+"""Sketch-aggregate tests: HLL error bound + merge algebra, quantile
+semantics vs DuckDB percentile_disc, ANN self-join vs brute force."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from parallel_dataflow_ray.stages.sketches import (
+    _clz64, grouped_approx_distinct, hll_estimate, hll_merge, hll_registers)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_clz64_matches_python():
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    w |= np.uint64(1)  # nonzero
+    got = _clz64(w)
+    want = np.array([64 - int(x).bit_length() for x in w])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hll_merge_is_union():
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) — the property that
+    makes arbitrary fold orders and replays safe."""
+    a = np.arange(0, 50_000)
+    b = np.arange(25_000, 80_000)
+    merged = hll_merge(hll_registers(a), hll_registers(b))
+    union = hll_registers(np.arange(0, 80_000))
+    np.testing.assert_array_equal(merged, union)
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 200_000])
+def test_hll_error_bound(n):
+    est = hll_estimate(hll_registers(np.arange(n)))
+    assert abs(est - n) / n < 0.05, (est, n)
+
+
+def test_grouped_approx_distinct_vs_exact():
+    import ray.data as rd
+
+    from parallel_dataflow_ray.sources.tables import read_table
+
+    ds = read_table(SF_DIR, "events", columns=["event_type", "user_id"])
+    got = grouped_approx_distinct(ds, ["event_type"], "user_id",
+                                  out="approx_users").to_pandas()
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') GROUP BY 1").df()
+    m = got.merge(exact, on="event_type")
+    assert len(m) == len(exact)
+    err = (m["approx_users"] - m["n"]).abs() / m["n"]
+    assert (err < 0.05).all(), m
+
+    # partial-count independence: a different batch size folds different
+    # partials but must merge to the identical estimate
+    small = grouped_approx_distinct(
+        ds.repartition(12), ["event_type"], "user_id",
+        out="approx_users").to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("event_type", ignore_index=True),
+        small.sort_values("event_type", ignore_index=True))
+
+
+def test_quantile_semantics_match_percentile_disc():
+    """The searchsorted(cum, q*n) read-off must agree with DuckDB on
+    boundary quantiles, including duplicate-heavy distributions."""
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.integers(0, 50, 500),
+                           np.full(250, 7), np.full(1, 999)])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM unnest($1::BIGINT[]) AS v(v)",
+                [vals.tolist()])
+    vc = pd.Series(vals).value_counts().sort_index()
+    cum = vc.to_numpy().cumsum()
+    uvals = vc.index.to_numpy()
+    n = cum[-1]
+    for q in (0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
+        want = con.execute(
+            f"SELECT percentile_disc({q!r}) WITHIN GROUP (ORDER BY v) FROM t"
+        ).fetchone()[0]
+        got = int(uvals[np.searchsorted(cum, q * n, side="left")])
+        assert got == want, (q, got, want)
+
+
+def test_self_join_topk_matches_bruteforce():
+    """Block-pair distributed result == driver-side exact top-k."""
+    import ray.data as rd
+
+    from parallel_dataflow_ray.sources.tables import read_table
+    from parallel_dataflow_ray.stages.similarity import self_join_topk
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    got = self_join_topk(ds, k=5, num_blocks=4).to_pandas() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+    df = ds.to_pandas()
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ids = df["vec_id"].to_numpy()
+    qm = np.rint((X @ X.T) * 1000).astype(np.int64)
+    np.fill_diagonal(qm, -(1 << 20))
+    rows = []
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -qm[i]))[:5]
+        for r, j in enumerate(order, 1):
+            rows.append((ids[i], r, ids[j], qm[i, j]))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id",
+                                       "cos_milli"]) \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
