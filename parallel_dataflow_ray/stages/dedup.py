@@ -90,12 +90,16 @@ def minhash_candidates(ds: rd.Dataset, *, num_hashes=64, bands=16, shingle_k=3,
     """documents -> candidate near-dup id pairs (deduplicated)."""
     from .relational import bucketed_groupby
 
+    # instance-as-UDF, NOT an actor pool: the stage's only state is the
+    # 1 KB hash-coefficient family (deterministic seed, ~µs to build), so
+    # shipping the pickled instance per task costs nothing while an actor
+    # pool pays ~1-2 s spin-up per query invocation — the wrong trade for
+    # stateless-ish sketching.  Stages with REAL per-actor setup (decode
+    # tables, broadcast indexes) stay actor pools.
     banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
-                                   shingle_k=shingle_k, text_col=text_col,
-                                   id_col=id_col),
-        batch_format="pandas", batch_size=2048, concurrency=(1, 8))
+        MinHashStage(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+                     text_col=text_col, id_col=id_col),
+        batch_format="pandas", batch_size=2048)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = [_pairs_from_buckets(sub, id_col)
@@ -122,18 +126,43 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
     ``map_batches`` with one shingle-set per distinct doc per batch.
     Output milli-Jaccard keeps the r1 semantics (truncation toward 0,
     filter ``>= threshold*1000``)."""
+    import ray as _ray
+
     from .relational import bucket_join
 
-    d = docs.select_columns([id_col, text_col])
-    da = d.map_batches(
-        lambda b: pd.DataFrame({"id_a": b[id_col], "__ta": b[text_col]}),
-        batch_format="pandas")
-    db = d.map_batches(
-        lambda b: pd.DataFrame({"id_b": b[id_col], "__tb": b[text_col]}),
-        batch_format="pandas")
     # materialize the (small, LSH-pruned) pair set so schema inspection
     # and the two join passes don't re-execute the candidate pipeline
-    j = bucket_join(pairs.materialize(), da, on="id_a", num_buckets=16)
+    pairs = pairs.materialize()
+    # broadcast semi-join: only docs that appear in SOME candidate pair
+    # enter the joins, so the shuffled text bytes scale with the
+    # candidate count (O(output)), not the corpus.  The id set on the
+    # driver is bounded by 2x the pair count — the same order as the
+    # result itself.
+    pdf = pairs.to_pandas()
+    id_ref = _ray.put(frozenset(np.concatenate(
+        [pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()]).tolist()))
+
+    class CandidateDocs:
+        """Instance-as-UDF carrying only the ObjectRef (ray.put once,
+        read per task from the local object store — never re-shipped
+        with the function)."""
+
+        def __init__(self, out_id: str, out_text: str):
+            self.ref = id_ref
+            self.keep: frozenset | None = None
+            self.out_id, self.out_text = out_id, out_text
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.keep is None:
+                self.keep = _ray.get(self.ref)
+            m = b[id_col].isin(self.keep)
+            return pd.DataFrame({self.out_id: b.loc[m, id_col].to_numpy(),
+                                 self.out_text: b.loc[m, text_col].to_numpy()})
+
+    d = docs.select_columns([id_col, text_col])
+    da = d.map_batches(CandidateDocs("id_a", "__ta"), batch_format="pandas")
+    db = d.map_batches(CandidateDocs("id_b", "__tb"), batch_format="pandas")
+    j = bucket_join(pairs, da, on="id_a", num_buckets=16)
     j = bucket_join(j.materialize(), db, on="id_b", num_buckets=16)
     thr_milli = threshold * 1000
 
