@@ -33,7 +33,8 @@ BATCH_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "filter_high_value",
     "broadcast_region_count", "topk_orders", "props_k_by_type",
     "tumbling_events", "sliding_events", "session_events",
-    "token_stats", "exact_dedup_docs", "minhash_neardup",
+    "token_stats", "exact_dedup_docs", "curate_docs", "topk_users_hourly",
+    "minhash_neardup",
     "knn_topk", "ann_self_topk", "quantiles_lineitem",
     "approx_distinct_users", "stream_tumbling_events",
 ]

@@ -337,6 +337,53 @@ def stratified_docs(sf_dir: str):
     return smp.stratified_sample(ds, "lang", 200, id_col="doc_id", seed=11)
 
 
+def curate_docs(sf_dir: str):
+    """End-to-end curation pipeline — the composition a training-data
+    corpus actually runs: vectorized quality features -> selective
+    filter (token count + stopword signal) -> exact dedup among the
+    survivors (keep min doc_id per identical text).  Every stage
+    streams; the only shuffle is the dedup's fingerprint bucketing."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score_filter(b: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_score_milli(b["text"])
+        out = pd.DataFrame({"doc_id": b["doc_id"], "text": b["text"], **feats})
+        keep = (out["n_tokens"] >= 30) & (out["stop_ratio_milli"] >= 30)
+        return out.loc[keep, ["doc_id", "text", "n_tokens"]]
+
+    filtered = ds.map_batches(score_filter, batch_format="pandas")
+    deduped = dd.exact_dedup(filtered)            # (doc_id, n_dups)
+    toks = filtered.select_columns(["doc_id", "n_tokens"])
+    return rel.bucket_join(deduped, toks, on="doc_id", num_buckets=16)
+
+
+def topk_users_hourly(sf_dir: str):
+    """Windowed top-k: per-hour top-3 spenders — map-side partial sums
+    -> bucketed merge -> per-window head(3), never a global sort."""
+    ds = _events_cents(sf_dir)
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        w = (ts // HOUR_US) * HOUR_US
+        return pa.table({"user_id": t["user_id"],
+                         "window_start_us": pa.array(w),
+                         "value_cents": t["value_cents"]})
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
+    sums = rel.grouped_sum(ds, ["user_id", "window_start_us"],
+                           ["value_cents"])
+
+    def per_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["window_start_us", "value_cents", "user_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("window_start_us", sort=False).head(3) \
+             .reset_index(drop=True)
+        g["rank"] = g.groupby("window_start_us", sort=False).cumcount() + 1
+        return g[["user_id", "window_start_us", "value_cents", "rank"]]
+
+    return rel.bucketed_groupby(sums, ["window_start_us"], per_window)
+
+
 def minhash_neardup(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cands = dd.minhash_candidates(docs)
@@ -634,6 +681,8 @@ QUERIES = {
     "reservoir_docs": reservoir_docs,
     "stratified_docs": stratified_docs,
     "exact_dedup_docs": exact_dedup_docs,
+    "curate_docs": curate_docs,
+    "topk_users_hourly": topk_users_hourly,
     "docs_quality": docs_quality,
     "langid_docs": langid_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -908,6 +957,40 @@ SELECT CAST(n.node AS BIGINT) AS vec_id,
        CAST(LEAST(n.node, MIN(r.dst)) AS BIGINT) AS cluster_id
 FROM nodes n JOIN reach r ON r.src = n.node
 GROUP BY n.node
+""",
+    "curate_docs": """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+t AS (SELECT doc_id, text,
+             length(text) - length(replace(text, ' ', ''))
+               + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS n_tokens
+      FROM d),
+f AS (SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM t
+      WHERE n_tokens >= 30
+        AND (1000 * (len(regexp_extract_all(text, '\\bthe\\b'))
+                     + len(regexp_extract_all(text, '\\band\\b'))
+                     + len(regexp_extract_all(text, '\\bof\\b'))
+                     + len(regexp_extract_all(text, '\\ba\\b'))
+                     + len(regexp_extract_all(text, '\\bto\\b'))))
+            // greatest(n_tokens, 1) >= 30),
+g AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups
+      FROM f GROUP BY text)
+SELECT g.doc_id, g.n_dups, f.n_tokens
+FROM g JOIN f ON g.doc_id = f.doc_id
+""",
+    "topk_users_hourly": """
+WITH e AS (SELECT user_id,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                  CAST(ROUND(value*100) AS BIGINT) AS vc
+           FROM events),
+g AS (SELECT user_id, window_start_us,
+             CAST(SUM(vc) AS BIGINT) AS value_cents
+      FROM e GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_us
+                                   ORDER BY value_cents DESC, user_id) rnk
+      FROM g)
+SELECT user_id, window_start_us, value_cents, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 3
 """,
     "ann_self_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
