@@ -105,15 +105,22 @@ def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
     ref = ray.put(lookup_df.set_index(on)[add_columns])
 
     class Lookup:
+        """Instance-as-UDF: pickles only the ObjectRef; each task reads
+        the broadcast table from its node's object store (ray.get,
+        zero-copy for Arrow-backed frames) — no per-query actor-pool
+        spin-up, no table re-shipping per batch."""
+
         def __init__(self):
-            self.lut = ray.get(ref)
+            self.ref = ref
+            self.lut: pd.DataFrame | None = None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.lut is None:
+                self.lut = ray.get(self.ref)
             joined = batch.join(self.lut, on=on)
             return joined[project] if project else joined
 
-    return ds.map_batches(Lookup, batch_format="pandas", batch_size=65536,
-                          concurrency=(1, 8))
+    return ds.map_batches(Lookup(), batch_format="pandas", batch_size=65536)
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: tuple,
