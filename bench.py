@@ -34,7 +34,9 @@ BATCH_QUERIES = [
     "broadcast_region_count", "topk_orders", "props_k_by_type",
     "tumbling_events", "sliding_events", "session_events",
     "token_stats", "exact_dedup_docs", "curate_docs", "topk_users_hourly",
-    "minhash_neardup",
+    "minhash_neardup", "semi_join_customers",
+    "range_join_error_after_signup", "bpe_token_stats",
+    "embedding_neardup_lsh",
     "knn_topk", "ann_self_topk", "quantiles_lineitem",
     "approx_distinct_users", "stream_tumbling_events",
 ]

@@ -105,3 +105,16 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """BPE-ish pre-tokenizer token count: letter runs, digit runs, and
+    punctuation runs (the GPT-2-style pre-token split restricted to the
+    ASCII classes both Python ``re`` and DuckDB's RE2 interpret
+    identically, so the SQL oracle `len(regexp_extract_all(...))` is
+    bit-exact).  Vectorized: one ``str.count`` pass over the series."""
+    return (texts.fillna("").str.count(BPE_PRETOKEN_RE)
+                 .to_numpy(np.int64))

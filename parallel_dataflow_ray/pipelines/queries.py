@@ -31,8 +31,8 @@ from ..stages import sampling as smp
 from ..stages import similarity as sim
 from ..stages import windows_batch as wb
 from ..stages.multimodal import audio_features
-from ..functions.text import (_LANG_HINTS, fingerprint64, lang_id,
-                              quality_score_milli)
+from ..functions.text import (_LANG_HINTS, bpe_token_count, fingerprint64,
+                              lang_id, quality_score_milli)
 from ..streaming import StreamEngine, TumblingWindows
 from ..streaming.kernels import AudioEnergy
 from ..streaming.partitioning import dataset_epochs, epochs_from_table
@@ -213,6 +213,74 @@ def asof_signup_before_error(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def _customers_cents(sf_dir: str) -> rd.Dataset:
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "acctbal_cents": pa.array(c)})
+
+    return cust.map_batches(prep, batch_format="pyarrow")
+
+
+def semi_join_customers(sf_dir: str):
+    """Existence semi-join: customers with >=1 order above 350k.  Only
+    the orders KEY column crosses the shuffle (bucket_join existence
+    mode drops the build side's payload at the tag stage)."""
+    big = read_table(sf_dir, "orders", columns=["o_custkey"],
+                     filter=(pc.field("o_totalprice") > 350000.0))
+    return rel.bucket_join(_customers_cents(sf_dir), big, on="c_custkey",
+                           right_on="o_custkey", how="semi", num_buckets=16)
+
+
+def anti_join_customers(sf_dir: str):
+    """Anti-join twin: customers with NO order above 350k."""
+    big = read_table(sf_dir, "orders", columns=["o_custkey"],
+                     filter=(pc.field("o_totalprice") > 350000.0))
+    return rel.bucket_join(_customers_cents(sf_dir), big, on="c_custkey",
+                           right_on="o_custkey", how="anti", num_buckets=16)
+
+
+def range_join_error_after_signup(sf_dir: str):
+    """Interval (range) join: EVERY error within 7 days at-or-after a
+    signup of the same user — the all-matches twin of the as-of query.
+    Ray: time-chunked interval replication + bucketed vectorized merge
+    (stages/interval.py); oracle: DuckDB native range join."""
+    from ..stages.interval import interval_join
+
+    WEEK_US = 604_800_000_000
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                               "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "eu": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"]})
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error"))
+                   .select(["event_id", "user_id", "eu"]),
+        batch_format="pyarrow")
+
+    def signup_intervals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "signup"))
+        eu = t["eu"].to_numpy(zero_copy_only=False)
+        return pa.table({"signup_event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "s_start": pa.array(eu),
+                         "s_end": pa.array(eu + WEEK_US)})
+
+    signups = ev.map_batches(signup_intervals, batch_format="pyarrow")
+    joined = interval_join(errors, signups, ts="eu", start="s_start",
+                           end="s_end", key="user_id", chunk_us=WEEK_US,
+                           num_buckets=32)
+    return joined.map_batches(
+        lambda b: b[["event_id", "user_id", "signup_event_id"]],
+        batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # windowed analytics over events
 # ---------------------------------------------------------------------------
@@ -275,6 +343,16 @@ def token_stats(sf_dir: str):
                              "n_chars_calc": b["text"].fillna("").str.len().astype("int64")})
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+def bpe_token_stats(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (letter/digit/punct runs), one
+    vectorized regex pass; bit-exact DuckDB regexp_extract_all twin."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "n_bpe_tokens": bpe_token_count(b["text"])}),
+        batch_format="pandas")
 
 
 def lang_count(sf_dir: str):
@@ -434,6 +512,14 @@ def knn_topk(sf_dir: str):
 def embedding_neardup(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return dd.embedding_neardup_pairs(ds, threshold=0.45)
+
+
+def embedding_neardup_lsh_q(sf_dir: str):
+    """Hyperplane-LSH approximate near-dup (the scale path; rows-only:
+    recall ~0.99 vs the exact block-pair output is asserted in
+    tests/test_dedup_scale.py, precision is 1 by construction)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dd.embedding_neardup_lsh(ds, threshold=0.45)
 
 
 def neardup_clusters(sf_dir: str):
@@ -667,6 +753,9 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "union_orders": union_orders,
     "asof_signup_before_error": asof_signup_before_error,
+    "semi_join_customers": semi_join_customers,
+    "anti_join_customers": anti_join_customers,
+    "range_join_error_after_signup": range_join_error_after_signup,
     "broadcast_region_count": broadcast_region_count,
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
@@ -676,6 +765,7 @@ QUERIES = {
     "sliding_events": sliding_events,
     "session_events": session_events,
     "token_stats": token_stats,
+    "bpe_token_stats": bpe_token_stats,
     "lang_count": lang_count,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -692,6 +782,7 @@ QUERIES = {
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "knn_topk": knn_topk,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_lsh": embedding_neardup_lsh_q,
     "neardup_clusters": neardup_clusters,
     "ivf_topk": ivf_topk_q,
     "ann_self_topk": ann_self_topk,
@@ -844,6 +935,24 @@ sig AS (SELECT MAX(event_id) AS signup_event_id, user_id, epoch_us(ts) AS eu
 SELECT e.event_id, e.user_id, s.signup_event_id
 FROM err e ASOF JOIN sig s ON e.user_id = s.user_id AND e.eu >= s.eu
 """,
+    "semi_join_customers": """
+SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+""",
+    "anti_join_customers": """
+SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+""",
+    "range_join_error_after_signup": """
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       s.event_id AS signup_event_id
+FROM events e JOIN events s ON e.user_id = s.user_id
+WHERE e.event_type = 'error' AND s.event_type = 'signup'
+  AND epoch_us(e.ts) >= epoch_us(s.ts)
+  AND epoch_us(e.ts) < epoch_us(s.ts) + 604800000000
+""",
     "broadcast_region_count": """
 SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -869,6 +978,12 @@ FROM events GROUP BY 1
 SELECT doc_id,
        CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+""",
+    "bpe_token_stats": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
     "lang_count": "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1",

@@ -456,3 +456,87 @@ def embedding_neardup_pairs(ds: rd.Dataset, threshold: float,
         explode, batch_format="pandas", batch_size=4096)
     return bucketed_groupby(exploded, ["__b1", "__b2"], per_pair,
                             num_buckets=max(B * (B + 1) // 2, 1))
+
+
+class _HyperplaneSketch:
+    """Instance-as-UDF: random-hyperplane LSH band keys per vector.
+    The projection matrix is regenerated deterministically from
+    ``(seed, dim)`` on first batch — nothing heavy is pickled, every
+    task derives the identical plane set."""
+
+    def __init__(self, bits_per_band: int, num_bands: int, seed: int,
+                 id_col: str, vec_col: str):
+        self.r, self.b, self.seed = bits_per_band, num_bands, seed
+        self.id_col, self.vec_col = id_col, vec_col
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed + 1_000_003 * X.shape[1])
+            self.planes = rng.standard_normal((X.shape[1], self.r * self.b))
+        bits = (X @ self.planes) >= 0.0                       # (n, r*b)
+        w = (1 << np.arange(self.r, dtype=np.int64))
+        keys = (bits.reshape(len(X), self.b, self.r) @ w).astype(np.int64)
+        n = len(batch)
+        return pd.DataFrame({
+            self.id_col: np.repeat(batch[self.id_col].to_numpy(), self.b),
+            "band_id": np.tile(np.arange(self.b, dtype=np.int64), n),
+            "band_key": keys.reshape(-1),
+            "__vec": list(np.repeat(X, self.b, axis=0)),
+        })
+
+
+def embedding_neardup_lsh(ds: rd.Dataset, threshold: float, *,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          bits_per_band: int = 4, num_bands: int = 24,
+                          seed: int = 7, num_buckets: int = 64) -> rd.Dataset:
+    """APPROXIMATE near-dup pairs via random-hyperplane LSH — the scale
+    path when the exact block-pair search (O(n²/B) per bucket) is too
+    hot.  Collision prob per bit is ``1 - theta/pi``; with r=4, b=24 the
+    recall at cosine 0.45 is ~0.99 (asserted vs the exact path in
+    tests/test_dedup_scale.py).  Precision is exactly 1: every candidate
+    is verified with the true quantized cosine inside its band bucket,
+    so output ⊆ exact output always.
+
+    Shuffle cost: (id, band_key, vec) rows, ``num_bands`` replicas per
+    vector — O(n·b·dim) bytes, versus the exact path's O(n·B·dim); the
+    win is per-bucket compute, which drops from (n/B)² matmuls to
+    near-duplicate-cluster-sized groups only."""
+    from .relational import bucketed_groupby
+
+    thr_milli = int(round(threshold * 1000))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(["band_id", "band_key"], sort=False):
+            sub = sub.drop_duplicates(id_col)
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            o = np.argsort(ids)
+            ids = ids[o]
+            X = np.stack(sub["__vec"].to_numpy())[o]
+            q = np.rint((X @ X.T) * 1000).astype(np.int64)
+            a, b = np.nonzero(np.triu(q >= thr_milli, k=1))
+            if a.size:
+                outs.append(pd.DataFrame({
+                    "id_a": ids[a].astype(np.int64),
+                    "id_b": ids[b].astype(np.int64),
+                    "cos_milli": q[a, b]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos_milli": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    banded = ds.select_columns([id_col, vec_col]).map_batches(
+        _HyperplaneSketch(bits_per_band, num_bands, seed, id_col, vec_col),
+        batch_format="pandas", batch_size=4096)
+    pairs = bucketed_groupby(banded, ["band_id", "band_key"], bucket_pairs,
+                             num_buckets=num_buckets)
+    # a pair verifies in every band where it collides -> distinct
+    return bucketed_groupby(
+        pairs, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=16)

@@ -146,14 +146,23 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
     verification) can't starve each other's CPU reservations on a small
     budget; co-location is the same guarantee (every row of a key lands
     in exactly one bucket).  Dtypes are restored per side after the
-    union's null-fill promotion."""
+    union's null-fill promotion.
+
+    ``how`` additionally accepts ``"semi"`` / ``"anti"``: left rows with
+    ≥1 / 0 key matches on the right — only the right side's KEY column
+    crosses the shuffle for those modes (right payload columns are
+    dropped at the tag stage), so an existence probe against a wide
+    build side never ships the build side's payload."""
     right_on = right_on or on
+    existence = how in ("semi", "anti")
     lsch, rsch = left.schema(), right.schema()
     lcols = list(lsch.names)
-    rcols = [on if c == right_on else c for c in rsch.names]
+    rcols = [on] if existence else [on if c == right_on else c
+                                    for c in rsch.names]
     ltypes = {n: t for n, t in zip(lsch.names, lsch.types)}
     rtypes = {(on if n == right_on else n): t
-              for n, t in zip(rsch.names, rsch.types)}
+              for n, t in zip(rsch.names, rsch.types)
+              if not existence or n == right_on}
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -161,7 +170,11 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
         return b
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
+        if existence:
+            # existence probe: only distinct key values cross the shuffle
+            b = b[[right_on]].drop_duplicates()
+        else:
+            b = b.copy()
         if right_on != on:
             b = b.rename(columns={right_on: on})
         b["__side"] = 1
@@ -184,6 +197,9 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = _restore(g.loc[g["__side"] == 0, lcols].copy(), ltypes)
         r = _restore(g.loc[g["__side"] == 1, rcols].copy(), rtypes)
+        if existence:
+            mask = l[on].isin(r[on].unique())
+            return l[mask if how == "semi" else ~mask]
         return l.merge(r, on=on, how=how)
 
     return bucketed_groupby(tagged, [on], per_bucket, num_buckets)

@@ -61,3 +61,20 @@ def test_components_chain_converges():
            .to_pandas().sort_values("doc_id", ignore_index=True))
     assert got["doc_id"].tolist() == [10, 11, 12, 13]
     assert got["cluster_id"].tolist() == [10, 10, 10, 10]
+
+
+def test_lsh_embedding_neardup_recall():
+    """LSH path: precision exactly 1 (every emitted pair is verified on
+    the true quantized cosine, so output ⊆ exact), recall >= 0.9 at the
+    configured (r=4, b=24) amplification — deterministic given the fixed
+    hyperplane seed."""
+    ds = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+    got = dd.embedding_neardup_lsh(ds, threshold=0.45).to_pandas()
+    want = _brute_pairs()
+    sg = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    sw = set(map(tuple, want[["id_a", "id_b"]].to_numpy()))
+    assert sg <= sw                       # precision 1
+    assert len(sg) >= 0.9 * len(sw)       # recall bound
+    # verified cos_milli values match the exact path's for shared pairs
+    m = got.merge(want, on=["id_a", "id_b"], suffixes=("", "_w"))
+    assert (m["cos_milli"] == m["cos_milli_w"]).all()

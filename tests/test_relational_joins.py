@@ -1,0 +1,107 @@
+"""Semi/anti bucket_join modes and the interval (range) join vs
+obviously-correct pandas twins (differential, reference test.rs spirit),
+including the cases the sf fixtures don't exercise: duplicate build-side
+keys, intervals spanning many chunks, the unkeyed variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from parallel_dataflow_ray.stages.interval import interval_join
+from parallel_dataflow_ray.stages.relational import bucket_join
+
+
+def _left() -> pd.DataFrame:
+    return pd.DataFrame({"k": [1, 2, 3, 4, 5, 5], "lv": [10, 20, 30, 40, 50, 51]})
+
+
+def _right() -> pd.DataFrame:
+    # duplicate keys + a payload column that must NOT cross the shuffle
+    return pd.DataFrame({"rk": [2, 2, 4, 9], "payload": ["x"] * 4})
+
+
+def test_semi_join_matches_isin():
+    l, r = _left(), _right()
+    got = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="rk", how="semi", num_buckets=4).to_pandas()
+    want = l[l["k"].isin(r["rk"])]
+    pd.testing.assert_frame_equal(
+        got.sort_values(["k", "lv"], ignore_index=True),
+        want.sort_values(["k", "lv"], ignore_index=True))
+    assert "payload" not in got.columns
+    # duplicate right keys must not duplicate left rows (semi, not
+    # inner: an inner join here would emit k=2 twice -> 3 rows)
+    assert len(got) == 2
+
+
+def test_anti_join_matches_not_isin():
+    l, r = _left(), _right()
+    got = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="rk", how="anti", num_buckets=4).to_pandas()
+    want = l[~l["k"].isin(r["rk"])]
+    pd.testing.assert_frame_equal(
+        got.sort_values(["k", "lv"], ignore_index=True),
+        want.sort_values(["k", "lv"], ignore_index=True))
+
+
+def _brute_interval(pts: pd.DataFrame, ivs: pd.DataFrame,
+                    key: str | None) -> pd.DataFrame:
+    if key:
+        m = pts.merge(ivs, on=key)
+    else:
+        m = pts.merge(ivs, how="cross")
+    m = m[(m["s"] <= m["ts"]) & (m["ts"] < m["e"])]
+    cols = [c for c in m.columns]
+    return m[cols].sort_values(cols, ignore_index=True)
+
+
+def test_interval_join_keyed_spanning_chunks():
+    rng = np.random.default_rng(3)
+    n, m = 400, 60
+    pts = pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "key": rng.integers(0, 5, n),
+        "ts": rng.integers(0, 10_000, n)})
+    ivs = pd.DataFrame({
+        "iid": np.arange(m, dtype=np.int64) + 1000,
+        "key": rng.integers(0, 5, m),
+        "s": rng.integers(0, 9_000, m)})
+    # lengths from 1 chunk to ~12 chunks (chunk_us=500)
+    ivs["e"] = ivs["s"] + rng.integers(1, 6_000, m)
+    got = interval_join(rd.from_pandas(pts), rd.from_pandas(ivs),
+                        ts="ts", start="s", end="e", key="key",
+                        chunk_us=500, num_buckets=8).to_pandas()
+    cols = sorted(got.columns)
+    want = _brute_interval(pts, ivs, "key")[cols] \
+        .sort_values(cols, ignore_index=True)
+    got = got[cols].sort_values(cols, ignore_index=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_interval_join_unkeyed():
+    pts = pd.DataFrame({"pid": np.arange(20, dtype=np.int64),
+                        "ts": np.arange(20, dtype=np.int64) * 7})
+    ivs = pd.DataFrame({"iid": [100, 101, 102],
+                        "s": [0, 50, 130], "e": [15, 120, 131]})
+    got = interval_join(rd.from_pandas(pts), rd.from_pandas(ivs),
+                        ts="ts", start="s", end="e", chunk_us=10,
+                        num_buckets=4).to_pandas()
+    cols = sorted(got.columns)
+    want = _brute_interval(pts, ivs, None)[cols] \
+        .sort_values(cols, ignore_index=True)
+    got = got[cols].sort_values(cols, ignore_index=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_interval_join_empty_result():
+    pts = pd.DataFrame({"pid": [1], "ts": [1000]})
+    ivs = pd.DataFrame({"iid": [2], "s": [0], "e": [10]})
+    got = interval_join(rd.from_pandas(pts), rd.from_pandas(ivs),
+                        ts="ts", start="s", end="e", chunk_us=100,
+                        num_buckets=2).to_pandas()
+    assert len(got) == 0
