@@ -38,7 +38,7 @@ BATCH_QUERIES = [
     "range_join_error_after_signup", "bpe_token_stats",
     "embedding_neardup_lsh",
     "knn_topk", "ann_self_topk", "quantiles_lineitem",
-    "approx_distinct_users", "stream_tumbling_events",
+    "approx_distinct_users", "heavy_bigrams", "stream_tumbling_events",
 ]
 
 

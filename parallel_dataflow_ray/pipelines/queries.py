@@ -575,6 +575,18 @@ def approx_distinct_users(sf_dir: str):
     return out
 
 
+def heavy_bigrams(sf_dir: str):
+    """EXACT frequent word-bigrams (> 1/600 of all bigram occurrences):
+    per-batch top-k sketch partials -> provably-complete candidate cut
+    -> exact broadcast recount (stages/sketches.py::heavy_hitters).  The
+    item stream never crosses a shuffle; oracle is a plain GROUP BY +
+    HAVING over the exploded bigrams."""
+    from ..stages.sketches import explode_bigrams, heavy_hitters
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(ds, explode_bigrams, item_col="bigram",
+                         count_col="n_occurrences", inv_phi=600)
+
+
 # ---------------------------------------------------------------------------
 # streaming engine on the events table (SQL-checkable CEP path)
 # ---------------------------------------------------------------------------
@@ -788,6 +800,7 @@ QUERIES = {
     "ann_self_topk": ann_self_topk,
     "quantiles_lineitem": quantiles_lineitem,
     "approx_distinct_users": approx_distinct_users,
+    "heavy_bigrams": heavy_bigrams,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_sliding_events": stream_sliding_events,
     "stream_session_events": stream_session_events,
@@ -1130,6 +1143,14 @@ SELECT l_returnflag, l_linestatus,
   CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY vc) AS BIGINT) AS p99_cents,
   CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM l GROUP BY 1, 2
+""",
+    "heavy_bigrams": """
+WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+      FROM d, unnest(range(1, len(ws))) AS t(i)),
+t AS (SELECT COUNT(*) AS n FROM b)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM b GROUP BY bigram HAVING COUNT(*) * 600 > (SELECT n FROM t)
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
     "stream_sliding_events": _SLIDING_SQL,

@@ -167,3 +167,102 @@ def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], val_col: str,
         return pd.DataFrame(rows)
 
     return bucketed_groupby(partial, keys, final, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# frequent items (heavy hitters): sketch candidates + exact recount
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(ds: rd.Dataset, item_fn, *, item_col: str = "item",
+                  count_col: str = "n_occurrences", inv_phi: int = 600,
+                  num_buckets: int = 32) -> rd.Dataset:
+    """EXACT frequent items: every item whose total count ``c`` satisfies
+    ``c * inv_phi > n`` (frequency strictly above ``1/inv_phi``), found
+    without ever shuffling the full item stream.
+
+    Two passes over ``ds`` (the graft of the reference's partial-meet +
+    exit-meet split, impls/src/sequential.rs:32-37,52-58, applied to the
+    classic space-saving/Misra-Gries decomposition):
+
+    1. **Sketch**: each batch emits its top ``2*inv_phi - 1`` items with
+       their exact in-batch counts, plus one sentinel row (``item=""``)
+       carrying the batch's total item count.  An item omitted from a
+       batch's top-k has in-batch count <= batch_n/(k+1), so the summed
+       lower bound undercounts any item by at most ``n/(k+1) = n/(2*inv_phi)``
+       globally.  Partials are merged by a bucketed sum; candidates are
+       the items with ``2 * inv_phi * cnt_lb >= n`` — a PROVABLE superset
+       of the true heavy hitters, at most ``2*inv_phi`` of them.
+    2. **Recount**: the tiny candidate list is broadcast into a second
+       ``map_batches`` pass that counts ONLY candidate items exactly,
+       then a bucketed sum + the exact ``c * inv_phi > n`` filter.
+
+    The shuffle never carries more than (top-k x batches) sketch rows in
+    pass 1 and (candidates x batches) rows in pass 2 — independent of
+    the item-stream length, so the 100 TB cost is two streaming reads.
+
+    ``item_fn(batch: pd.DataFrame) -> pd.Series`` extracts the item
+    stream from a batch (vectorized; e.g. exploded word bigrams).
+    """
+    capacity = 2 * inv_phi - 1
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        items = item_fn(b)
+        vc = items.value_counts().head(capacity)
+        out = pd.DataFrame({item_col: vc.index.astype(str),
+                            "__cnt": vc.to_numpy(np.int64)})
+        total = pd.DataFrame({item_col: [""],
+                              "__cnt": np.array([len(items)], np.int64)})
+        return pd.concat([out, total], ignore_index=True)
+
+    sketch = ds.map_batches(local_topk, batch_format="pandas",
+                            batch_size=65536)
+    summed = bucketed_groupby(
+        sketch, [item_col],
+        lambda g: g.groupby(item_col, as_index=False, sort=False)["__cnt"].sum(),
+        num_buckets=num_buckets)
+
+    # materialize the (small) summed partials once: read the sentinel
+    # n, then cut candidates DISTRIBUTED — the driver only ever pulls
+    # the sentinel row and the <= 2*inv_phi candidate rows, never the
+    # full sketched-item table.
+    summed = summed.materialize()
+    n = int(summed.map_batches(
+        lambda g: g[g[item_col] == ""], batch_format="pandas"
+    ).to_pandas()["__cnt"].sum())
+    cand = summed.map_batches(
+        lambda g: g.loc[(g[item_col] != "")
+                        & (2 * inv_phi * g["__cnt"] >= n), [item_col]],
+        batch_format="pandas").to_pandas()
+    candidates = set(cand[item_col].tolist())
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        items = item_fn(b)
+        vc = items[items.isin(candidates)].value_counts()
+        return pd.DataFrame({item_col: vc.index.astype(str),
+                             "__cnt": vc.to_numpy(np.int64)})
+
+    exact = ds.map_batches(recount, batch_format="pandas", batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(item_col, as_index=False, sort=False)["__cnt"].sum()
+        out = out[out["__cnt"] * inv_phi > n]
+        return out.rename(columns={"__cnt": count_col})
+
+    return bucketed_groupby(exact, [item_col], final,
+                            num_buckets=num_buckets)
+
+
+def explode_bigrams(b: pd.DataFrame, text_col: str = "text") -> pd.Series:
+    """Word-bigram stream of a batch, matching DuckDB
+    ``ws[i] || ' ' || ws[i+1]`` over ``string_split(text, ' ')``
+    exactly (single-space split, empty tokens preserved)."""
+    ex = b[text_col].fillna("").str.split(" ").explode()
+    w = ex.to_numpy()
+    if len(w) < 2:
+        return pd.Series([], dtype=object)
+    doc = ex.index.to_numpy()
+    valid = doc[:-1] == doc[1:]
+    left = pd.Series(w[:-1][valid], dtype=object)
+    right = pd.Series(w[1:][valid], dtype=object)
+    return left.str.cat(right, sep=" ")

@@ -113,3 +113,45 @@ def test_self_join_topk_matches_bruteforce():
                                        "cos_milli"]) \
         .sort_values(["query_id", "rank"], ignore_index=True)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_heavy_hitters_exact_under_pruning():
+    """Zipf-ish skewed stream, many batches, capacity far below the
+    distinct-item count so per-batch top-k pruning really happens —
+    output must still be the EXACT set {item : cnt * inv_phi > n}
+    (the candidate cut is a provable superset, the recount is exact)."""
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(42)
+    # 40k draws over 2000 items, zipf-like: a few items dominate
+    items = np.floor(rng.pareto(1.2, 40_000) * 3).astype(np.int64) % 2000
+    df = pd.DataFrame({"val": [f"item_{i}" for i in items]})
+    ds = rd.from_pandas(df).repartition(16)
+
+    inv_phi = 50  # capacity 99 << 2000 distinct
+    got = heavy_hitters(ds, lambda b: b["val"], item_col="item",
+                        count_col="cnt", inv_phi=inv_phi).to_pandas() \
+        .sort_values("item", ignore_index=True)
+
+    vc = df["val"].value_counts()
+    want = vc[vc * inv_phi > len(df)].rename_axis("item") \
+        .rename("cnt").reset_index().sort_values("item", ignore_index=True)
+    assert len(want) > 0  # the fixture actually has heavy hitters
+    pd.testing.assert_frame_equal(
+        got.astype({"cnt": "int64"}), want.astype({"cnt": "int64"}))
+
+
+def test_explode_bigrams_matches_duckdb():
+    from parallel_dataflow_ray.stages.sketches import explode_bigrams
+
+    texts = ["a b c", "", "one", "x  y", "p q r s"]
+    got = explode_bigrams(pd.DataFrame({"text": texts})).tolist()
+    want = duckdb.connect().execute("""
+        WITH d AS (SELECT string_split(t, ' ') AS ws
+                   FROM (SELECT unnest(?) AS t)),
+        b AS (SELECT ws[i] || ' ' || ws[i+1] AS bg
+              FROM d, unnest(range(1, len(ws))) AS t(i))
+        SELECT bg FROM b""", [texts]).df()["bg"].tolist()
+    assert sorted(got) == sorted(want)
