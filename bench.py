@@ -33,7 +33,8 @@ BATCH_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "filter_high_value",
     "broadcast_region_count", "topk_orders", "props_k_by_type",
     "tumbling_events", "sliding_events", "session_events",
-    "token_stats", "exact_dedup_docs", "curate_docs", "topk_users_hourly",
+    "token_stats", "exact_dedup_docs", "curate_docs", "curate_neardup_docs",
+    "topk_users_hourly",
     "minhash_neardup", "semi_join_customers",
     "range_join_error_after_signup", "bpe_token_stats",
     "embedding_neardup_lsh",

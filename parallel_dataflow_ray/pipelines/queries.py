@@ -89,13 +89,21 @@ def filter_high_value(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str):
-    """Hash join lineitem⋈orders + grouped revenue + top-10."""
+    """Grouped revenue per order, qualified by order date, top-10.
+
+    ``o_orderkey`` is unique, so the lineitem⋈orders inner join followed
+    by a group-on-l_orderkey is exactly a SEMI-join: pre-aggregate
+    revenue per orderkey (map-side combine, one partial row per
+    (batch, key)), then ``bucket_join(how="semi")`` against the
+    qualifying order keys — only DISTINCT o_orderkey values cross that
+    shuffle, never the orders payload, and no per-query aggregator
+    actor pool is spun up."""
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount",
                              "l_shipdate"],
                     filter=(pc.field("l_shipdate") > pa.scalar(
                         pd.Timestamp("1995-03-15"))))
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"],
                         filter=(pc.field("o_orderdate") < pa.scalar(
                             pd.Timestamp("1995-03-15"))))
 
@@ -105,12 +113,13 @@ def q3_top_orders(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": pa.array(p * d)})
 
     li = li.map_batches(rev, batch_format="pyarrow")
-    joined = rel.hash_join(li, orders, on=("l_orderkey",),
-                           right_on=("o_orderkey",), num_partitions=8)
-    grouped = rel.grouped_sum(joined, ["l_orderkey"], ["revenue_c4"])
+    grouped = rel.grouped_sum(li, ["l_orderkey"], ["revenue_c4"])
+    qualified = rel.bucket_join(grouped, orders, on="l_orderkey",
+                                right_on="o_orderkey", how="semi",
+                                num_buckets=16)
     # block-local top-k + tiny merge — never materialize the full grouped
     # result on the driver (~millions of groups at scale)
-    return rel.top_k(grouped, [("revenue_c4", True), ("l_orderkey", False)], 10)
+    return rel.top_k(qualified, [("revenue_c4", True), ("l_orderkey", False)], 10)
 
 
 def broadcast_region_count(sf_dir: str):
@@ -433,6 +442,50 @@ def curate_docs(sf_dir: str):
     deduped = dd.exact_dedup(filtered)            # (doc_id, n_dups)
     toks = filtered.select_columns(["doc_id", "n_tokens"])
     return rel.bucket_join(deduped, toks, on="doc_id", num_buckets=16)
+
+
+def curate_neardup_docs(sf_dir: str):
+    """Near-dup curation — the full fuzzy-dedup composition: quality
+    filter -> exact word-3-gram Jaccard >= 0.5 pairs (inverted-index
+    set-similarity join) -> min-label-propagation components -> keep
+    only the canonical (min-id) doc per cluster, annotated with its
+    near-dup count.  Every stage is the distributed scale path (only
+    (hash, id) pairs and labels shuffle; text never leaves the sketch
+    stage) and the whole composition is SQL-gated via a recursive-CTE
+    reachability oracle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score_filter(b: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_score_milli(b["text"])
+        out = pd.DataFrame({"doc_id": b["doc_id"], "text": b["text"],
+                            "n_tokens": feats["n_tokens"],
+                            "stop_ratio_milli": feats["stop_ratio_milli"]})
+        keep = (out["n_tokens"] >= 30) & (out["stop_ratio_milli"] >= 30)
+        return out.loc[keep, ["doc_id", "text", "n_tokens"]]
+
+    filtered = ds.map_batches(score_filter, batch_format="pandas")
+    slim = filtered.select_columns(["doc_id", "n_tokens"]).materialize()
+    pairs = dd.ngram_jaccard_pairs(filtered, threshold_milli=500)
+    labels = dd.components_labels(pairs, node_col="doc_id").materialize()
+
+    dropped = labels.map_batches(
+        lambda b: b.loc[b["cluster_id"] != b["doc_id"], ["doc_id"]],
+        batch_format="pandas")
+    sizes = rel.bucketed_groupby(
+        labels, ["cluster_id"],
+        lambda g: g.groupby("cluster_id", as_index=False)
+                   .size().rename(columns={"cluster_id": "doc_id",
+                                           "size": "n_neardups"}),
+        num_buckets=16)
+    survivors = rel.bucket_join(slim, dropped, on="doc_id", how="anti",
+                                num_buckets=16)
+    clustered = rel.bucket_join(survivors, sizes, on="doc_id",
+                                num_buckets=16)
+    singles = rel.bucket_join(survivors, labels.select_columns(["doc_id"]),
+                              on="doc_id", how="anti",
+                              num_buckets=16).map_batches(
+        lambda b: b.assign(n_neardups=np.int64(1)), batch_format="pandas")
+    return clustered.union(singles)
 
 
 def topk_users_hourly(sf_dir: str):
@@ -784,6 +837,7 @@ QUERIES = {
     "stratified_docs": stratified_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "curate_docs": curate_docs,
+    "curate_neardup_docs": curate_neardup_docs,
     "topk_users_hourly": topk_users_hourly,
     "docs_quality": docs_quality,
     "langid_docs": langid_docs,
@@ -1105,6 +1159,49 @@ g AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups
       FROM f GROUP BY text)
 SELECT g.doc_id, g.n_dups, f.n_tokens
 FROM g JOIN f ON g.doc_id = f.doc_id
+""",
+    "curate_neardup_docs": r"""
+WITH RECURSIVE d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+t AS (SELECT doc_id, text,
+             length(text) - length(replace(text, ' ', ''))
+               + CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS n_tokens
+      FROM d),
+f AS (SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM t
+      WHERE n_tokens >= 30
+        AND (1000 * (len(regexp_extract_all(text, '\bthe\b'))
+                     + len(regexp_extract_all(text, '\band\b'))
+                     + len(regexp_extract_all(text, '\bof\b'))
+                     + len(regexp_extract_all(text, '\ba\b'))
+                     + len(regexp_extract_all(text, '\bto\b'))))
+            // greatest(n_tokens, 1) >= 30),
+words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM f WHERE length(trim(text)) > 0),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS s(i)),
+sizes0 AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM p JOIN sizes0 sa ON id_a = sa.doc_id
+                 JOIN sizes0 sb ON id_b = sb.doc_id
+          WHERE (1000 * inter) // (sa.sz + sb.sz - inter) >= 500),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+comp AS (SELECT n.src AS node, LEAST(n.src, MIN(r.dst)) AS cluster_id
+         FROM (SELECT DISTINCT src FROM edges) n
+         JOIN reach r ON r.src = n.src GROUP BY n.src),
+csize AS (SELECT cluster_id, COUNT(*) AS n_neardups FROM comp GROUP BY 1)
+SELECT f.doc_id, f.n_tokens,
+       CAST(COALESCE(s.n_neardups, 1) AS BIGINT) AS n_neardups
+FROM f LEFT JOIN comp c ON f.doc_id = c.node
+       LEFT JOIN csize s ON s.cluster_id = f.doc_id
+WHERE c.node IS NULL OR c.cluster_id = f.doc_id
 """,
     "topk_users_hourly": """
 WITH e AS (SELECT user_id,

@@ -99,7 +99,7 @@ def minhash_candidates(ds: rd.Dataset, *, num_hashes=64, bands=16, shingle_k=3,
     banded = ds.map_batches(
         MinHashStage(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
                      text_col=text_col, id_col=id_col),
-        batch_format="pandas", batch_size=2048)
+        batch_format="pandas", batch_size=1024)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = [_pairs_from_buckets(sub, id_col)
@@ -263,7 +263,7 @@ def simhash_sketch(ds: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Datas
         return pd.DataFrame({id_col: batch[id_col],
                              "simhash": hs.astype(np.int64)})
 
-    return ds.map_batches(sketch, batch_format="pandas", batch_size=2048)
+    return ds.map_batches(sketch, batch_format="pandas", batch_size=1024)
 
 
 def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
@@ -376,7 +376,7 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold_milli: int = 500,
         return out[out["jaccard_milli"] >= threshold_milli]
 
     shingled = ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pandas", batch_size=2048)
+        explode, batch_format="pandas", batch_size=1024)
     co = bucketed_groupby(shingled, ["__g"], cooccur, num_buckets=num_buckets)
     return bucketed_groupby(co, ["id_a", "id_b"], finalize,
                             num_buckets=num_buckets)

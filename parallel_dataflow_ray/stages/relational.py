@@ -76,7 +76,13 @@ def bucketed_groupby(ds: rd.Dataset, keys: list[str], fn,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns="__bucket"))
 
-    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+    # batch_size bounds COALESCING only (blocks are never split): 65536
+    # collapsed small inputs into ONE task — and operator fusion bundles
+    # on the largest fused batch_size, so the sort behind groupby() then
+    # inherited a single block, serializing map_groups too.  4096 keeps
+    # a few-way map side on bench-scale inputs with no effect on full
+    # 128 MB blocks (which exceed any bundle target anyway).
+    return (ds.map_batches(add_bucket, batch_format="pandas", batch_size=4096)
               .groupby("__bucket")
               .map_groups(per_bucket, batch_format="pandas"))
 
