@@ -251,6 +251,56 @@ def anti_join_customers(sf_dir: str):
                            right_on="o_custkey", how="anti", num_buckets=16)
 
 
+def left_join_customer_orders(sf_dir: str):
+    """LEFT outer join: every customer row survives; customers without
+    a qualifying (>400k) order carry ``total_cents = -1``.  Each key's
+    rows co-locate in one bucket, so the per-bucket ``pd.merge`` IS the
+    global left join; the null-filled right column is sentinel-filled
+    and cast back to int64 so the hash gate stays integer-exact."""
+    big = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                     filter=(pc.field("o_totalprice") > 400000.0))
+
+    def proj(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "total_cents": pa.array(c)})
+
+    joined = rel.bucket_join(_customers_cents(sf_dir),
+                             big.map_batches(proj, batch_format="pyarrow"),
+                             on="c_custkey", right_on="o_custkey",
+                             how="left", num_buckets=16)
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        b["total_cents"] = b["total_cents"].fillna(-1).astype("int64")
+        return b
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def outer_join_user_activity(sf_dir: str):
+    """FULL outer join of two per-user aggregates (click counts vs
+    purchase counts); a user missing on one side carries -1 there."""
+
+    def per_user(etype: str, out: str) -> rd.Dataset:
+        ds = read_table(sf_dir, "events", columns=["user_id", "event_type"],
+                        filter=(pc.field("event_type") == etype))
+        ones = ds.map_batches(
+            lambda t: pa.table({"user_id": t["user_id"]}),
+            batch_format="pyarrow")
+        return rel.grouped_sum(ones, ["user_id"], [], count_as=out)
+
+    joined = rel.bucket_join(per_user("click", "n_clicks"),
+                             per_user("purchase", "n_purchases"),
+                             on="user_id", how="outer", num_buckets=16)
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_clicks", "n_purchases"):
+            b[c] = b[c].fillna(-1).astype("int64")
+        return b
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def range_join_error_after_signup(sf_dir: str):
     """Interval (range) join: EVERY error within 7 days at-or-after a
     signup of the same user — the all-matches twin of the as-of query.
@@ -429,7 +479,9 @@ def curate_docs(sf_dir: str):
     corpus actually runs: vectorized quality features -> selective
     filter (token count + stopword signal) -> exact dedup among the
     survivors (keep min doc_id per identical text).  Every stage
-    streams; the only shuffle is the dedup's fingerprint bucketing."""
+    streams; the only shuffle is the dedup's fingerprint bucketing —
+    ``n_tokens`` rides through it with the winning row (exact_dedup
+    ``carry``), so the corpus is scanned exactly once."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score_filter(b: pd.DataFrame) -> pd.DataFrame:
@@ -439,9 +491,7 @@ def curate_docs(sf_dir: str):
         return out.loc[keep, ["doc_id", "text", "n_tokens"]]
 
     filtered = ds.map_batches(score_filter, batch_format="pandas")
-    deduped = dd.exact_dedup(filtered)            # (doc_id, n_dups)
-    toks = filtered.select_columns(["doc_id", "n_tokens"])
-    return rel.bucket_join(deduped, toks, on="doc_id", num_buckets=16)
+    return dd.exact_dedup(filtered, carry=["n_tokens"])
 
 
 def curate_neardup_docs(sf_dir: str):
@@ -468,24 +518,27 @@ def curate_neardup_docs(sf_dir: str):
     pairs = dd.ngram_jaccard_pairs(filtered, threshold_milli=500)
     labels = dd.components_labels(pairs, node_col="doc_id").materialize()
 
-    dropped = labels.map_batches(
-        lambda b: b.loc[b["cluster_id"] != b["doc_id"], ["doc_id"]],
-        batch_format="pandas")
-    sizes = rel.bucketed_groupby(
-        labels, ["cluster_id"],
-        lambda g: g.groupby("cluster_id", as_index=False)
-                   .size().rename(columns={"cluster_id": "doc_id",
-                                           "size": "n_neardups"}),
-        num_buckets=16)
-    survivors = rel.bucket_join(slim, dropped, on="doc_id", how="anti",
-                                num_buckets=16)
-    clustered = rel.bucket_join(survivors, sizes, on="doc_id",
-                                num_buckets=16)
-    singles = rel.bucket_join(survivors, labels.select_columns(["doc_id"]),
-                              on="doc_id", how="anti",
-                              num_buckets=16).map_batches(
-        lambda b: b.assign(n_neardups=np.int64(1)), batch_format="pandas")
-    return clustered.union(singles)
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        # one verdict row per clustered node: canonical (node ==
+        # cluster min) carries the cluster size, members carry 0
+        sz = g.groupby("cluster_id")["doc_id"].transform("size").to_numpy()
+        keep = (g["doc_id"] == g["cluster_id"]).to_numpy()
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "n_neardups": np.where(keep, sz, 0)
+                                             .astype(np.int64)})
+
+    verdict = rel.bucketed_groupby(labels, ["cluster_id"], per_cluster,
+                                   num_buckets=16)
+    joined = rel.bucket_join(slim, verdict, on="doc_id", how="left",
+                             num_buckets=16)
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        # unlabelled docs are singletons (n_neardups 1); labelled
+        # non-canonical members (0) are the near-dups being dropped
+        b = b.assign(n_neardups=b["n_neardups"].fillna(1).astype("int64"))
+        return b[b["n_neardups"] > 0]
+
+    return joined.map_batches(fill, batch_format="pandas")
 
 
 def topk_users_hourly(sf_dir: str):
@@ -820,6 +873,8 @@ QUERIES = {
     "asof_signup_before_error": asof_signup_before_error,
     "semi_join_customers": semi_join_customers,
     "anti_join_customers": anti_join_customers,
+    "left_join_customer_orders": left_join_customer_orders,
+    "outer_join_user_activity": outer_join_user_activity,
     "range_join_error_after_signup": range_join_error_after_signup,
     "broadcast_region_count": broadcast_region_count,
     "topk_orders": topk_orders,
@@ -1011,6 +1066,24 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
 SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
 FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+""",
+    "left_join_customer_orders": """
+SELECT c.c_custkey, CAST(ROUND(c.c_acctbal*100) AS BIGINT) AS acctbal_cents,
+       COALESCE(CAST(ROUND(o.o_totalprice*100) AS BIGINT), -1) AS total_cents
+FROM customer c
+LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders
+           WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+""",
+    "outer_join_user_activity": """
+WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.n_clicks, -1) AS n_clicks,
+       COALESCE(p.n_purchases, -1) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """,
     "range_join_error_after_signup": """
 SELECT e.event_id AS event_id, e.user_id AS user_id,

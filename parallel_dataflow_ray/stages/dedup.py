@@ -32,22 +32,29 @@ from ..functions.text import fingerprint64, jaccard, word_shingles
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
-                ) -> rd.Dataset:
-    """Keep the smallest id per identical text. Returns (doc_id, n_dups)."""
+def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                carry: list[str] | None = None) -> rd.Dataset:
+    """Keep the smallest id per identical text. Returns (doc_id, n_dups
+    [, *carry]) — ``carry`` columns ride along with the winning row
+    through the one fingerprint shuffle, so callers that need the
+    survivor's attributes don't pay a second scan + re-join."""
 
     from .relational import bucketed_groupby
 
+    carry = carry or []
+
     def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: batch[id_col],
-            "__fp": fingerprint64(batch[text_col]),
-        })
+        cols = {id_col: batch[id_col], "__fp": fingerprint64(batch[text_col])}
+        for c in carry:
+            cols[c] = batch[c]
+        return pd.DataFrame(cols)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
         out = g.groupby("__fp", as_index=False).agg(
-            **{id_col: (id_col, "min"), "n_dups": (id_col, "size")})
-        return out[[id_col, "n_dups"]]
+            **{id_col: (id_col, "first"), "n_dups": (id_col, "size"),
+               **{c: (c, "first") for c in carry}})
+        return out[[id_col, "n_dups", *carry]]
 
     fps = ds.map_batches(add_fp, batch_format="pandas")
     return bucketed_groupby(fps, ["__fp"], keep_first)
@@ -203,27 +210,45 @@ def components_labels(pairs: rd.Dataset, *, id_a: str = "id_a",
             "src": np.concatenate([b[id_a].to_numpy(), b[id_b].to_numpy()]),
             "dst": np.concatenate([b[id_b].to_numpy(), b[id_a].to_numpy()])}),
         batch_format="pandas").materialize()
-    labels = bucketed_groupby(
-        edges, ["src"],
-        lambda g: pd.DataFrame({"node": np.unique(g["src"].to_numpy())})
-    ).map_batches(lambda b: b.assign(label=b["node"]),
-                  batch_format="pandas").materialize()
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        # the edges are already keyed by src here, so the first
+        # propagation round is free: label = min(node, min neighbor)
+        a = g.groupby("src", as_index=False)["dst"].min()
+        return pd.DataFrame({"node": a["src"],
+                             "label": np.minimum(a["src"].to_numpy(),
+                                                 a["dst"].to_numpy())})
+
+    labels = bucketed_groupby(edges, ["src"], init_labels).materialize()
+
+    def fold_round(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucketed pass per round: rows are label MESSAGES (sent
+        # across edges, __old = max) unioned with each node's CURRENT
+        # label row (__old = its label); min over both gives the new
+        # label, min of __old recovers the old one, so the
+        # changed-detection that used to be a third shuffle (join new
+        # against old + count) happens inside the same fold.
+        a = g.groupby("node", as_index=False).agg(
+            label=("label", "min"), __old=("__old", "min"))
+        a["__chg"] = (a["label"] != a["__old"]).astype(np.int64)
+        return a[["node", "label", "__chg"]]
+
+    sentinel = np.iinfo(np.int64).max
     for _ in range(max_rounds):
         msgs = bucket_join(edges, labels, on="src", right_on="node",
                            num_buckets=16).map_batches(
-            lambda b: pd.DataFrame({"node": b["dst"], "label": b["label"]}),
+            lambda b: pd.DataFrame({"node": b["dst"], "label": b["label"],
+                                    "__old": np.int64(sentinel)}),
             batch_format="pandas")
-        new = bucketed_groupby(
-            msgs.union(labels.select_columns(["node", "label"])), ["node"],
-            lambda g: g.groupby("node", as_index=False)["label"].min()
-        ).materialize()
-        old = labels.map_batches(
-            lambda b: b.rename(columns={"label": "__old"}), batch_format="pandas")
-        chk = bucket_join(new, old, on="node", num_buckets=16)
-        changed = int(chk.map_batches(
-            lambda b: pd.DataFrame({"c": [int((b["label"] != b["__old"]).sum())]}),
+        own = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["label"],
+                                    "__old": b["label"]}),
+            batch_format="pandas")
+        new = bucketed_groupby(msgs.union(own), ["node"],
+                               fold_round).materialize()
+        changed = int(new.map_batches(
+            lambda b: pd.DataFrame({"c": [int(b["__chg"].sum())]}),
             batch_format="pandas").to_pandas()["c"].sum())
-        labels = new
+        labels = new.select_columns(["node", "label"])
         if changed == 0:
             break
     return labels.map_batches(

@@ -154,6 +154,14 @@ def bucket_join(left: rd.Dataset, right: rd.Dataset, on: str,
     in exactly one bucket).  Dtypes are restored per side after the
     union's null-fill promotion.
 
+    ``how`` accepts every ``pd.merge`` mode — ``"inner"`` / ``"left"``
+    / ``"right"`` / ``"outer"`` — because each key's rows from BOTH
+    sides co-locate in exactly one bucket, the per-bucket merge IS the
+    global outer join (unmatched rows of either side surface in their
+    key's bucket).  Null-filled columns from the unmatched side follow
+    pandas promotion (int -> float); callers that need integer-exact
+    output sentinel-fill and cast back.
+
     ``how`` additionally accepts ``"semi"`` / ``"anti"``: left rows with
     ≥1 / 0 key matches on the right — only the right side's KEY column
     crosses the shuffle for those modes (right payload columns are

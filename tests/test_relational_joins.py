@@ -47,6 +47,35 @@ def test_anti_join_matches_not_isin():
         want.sort_values(["k", "lv"], ignore_index=True))
 
 
+def _canon_merge(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype.kind in "if":
+            out[c] = out[c].astype("float64")
+    return out.sort_values(cols, ignore_index=True)
+
+
+def test_left_join_matches_pandas_merge():
+    l, r = _left(), _right().rename(columns={"payload": "rv"})
+    got = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="rk", how="left", num_buckets=4).to_pandas()
+    want = l.merge(r.rename(columns={"rk": "k"}), on="k", how="left")
+    pd.testing.assert_frame_equal(_canon_merge(got), _canon_merge(want))
+    # unmatched left keys survive; duplicate right keys fan out
+    assert len(got) == len(l) + 1
+
+
+def test_outer_join_matches_pandas_merge():
+    l, r = _left(), _right().rename(columns={"payload": "rv"})
+    got = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="rk", how="outer", num_buckets=4).to_pandas()
+    want = l.merge(r.rename(columns={"rk": "k"}), on="k", how="outer")
+    pd.testing.assert_frame_equal(_canon_merge(got), _canon_merge(want))
+    # the right-only key (9) must surface with a null left side
+    assert (got["k"] == 9).any()
+
+
 def _brute_interval(pts: pd.DataFrame, ivs: pd.DataFrame,
                     key: str | None) -> pd.DataFrame:
     if key:
