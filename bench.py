@@ -37,6 +37,7 @@ BATCH_QUERIES = [
     "topk_users_hourly",
     "minhash_neardup", "semi_join_customers",
     "range_join_error_after_signup", "bpe_token_stats",
+    "running_user_totals", "distinct_users_by_type",
     "embedding_neardup_lsh",
     "knn_topk", "ann_self_topk", "quantiles_lineitem",
     "approx_distinct_users", "heavy_bigrams", "stream_tumbling_events",

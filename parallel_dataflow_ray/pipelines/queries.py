@@ -159,6 +159,106 @@ def props_k_by_type(sf_dir: str):
     return rel.grouped_sum(ds, ["event_type"], ["sum_k"], count_as="n_events")
 
 
+def q6_revenue(sf_dir: str):
+    """Global scalar aggregate (TPC-H Q6 shape): filter pushed to the
+    read, quantized per-batch partial products, final reduce via the
+    native ``Dataset.sum`` — a one-row result, no groupby shuffle."""
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+                & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+                & (pc.field("l_quantity") < 24)))
+
+    def rev(t: pa.Table) -> pa.Table:
+        p = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        keep = (d >= 5) & (d <= 7)
+        return pa.table({"revenue_c4": pa.array(p[keep] * d[keep])})
+
+    total = li.map_batches(rev, batch_format="pyarrow").sum("revenue_c4")
+    return pd.DataFrame({"revenue_c4": [np.int64(total or 0)]})
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Grouped exact COUNT DISTINCT: per-batch pair dedup (partial
+    distinct) -> bucket by user so each (type, user) pair lands in
+    exactly one bucket -> per-bucket dedup + count -> tiny final sum
+    per type.  Only distinct pairs cross the shuffle."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.map_batches(lambda b: b.drop_duplicates(),
+                           batch_format="pandas", batch_size=65536)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.drop_duplicates().groupby("event_type", as_index=False)
+              .size().rename(columns={"size": "n_users"}))
+        return c
+
+    partial = rel.bucketed_groupby(pairs, ["user_id"], per_bucket)
+    return rel.grouped_sum(partial, ["event_type"], ["n_users"],
+                           num_buckets=4)
+
+
+def scrub_props(sf_dir: str):
+    """Redaction / PII-scrub operator shape: mask every digit run in
+    the JSON props payload with ``#`` and report how many runs were
+    masked — one vectorized compiled-regex pass per batch, no shuffle
+    (embarrassingly parallel, the scale-ideal stage)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "scrubbed": b["props"].str.replace(r"\d+", "#", regex=True),
+            "n_masked": b["props"].str.count(r"\d+").astype("int64"),
+        })
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def running_user_totals(sf_dir: str):
+    """Cumulative (running) per-key window aggregate: each user's
+    running spend over event time.  Bucketed by user so each group
+    folds locally — a per-group mergesort + vectorized cumsum, never a
+    global sort; ties broken by event_id for a deterministic fold."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "value_cents": pa.array(vc)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g["cum_cents"] = g.groupby("user_id", sort=False)["value_cents"] \
+                          .cumsum()
+        return g[["event_id", "user_id", "ts_us", "cum_cents"]]
+
+    return rel.bucketed_groupby(ds, ["user_id"], per_user)
+
+
+def pivot_event_counts(sf_dir: str):
+    """Pivot / wide conditional aggregate: per-user event counts as one
+    column per event type — indicator columns inside the scan, then the
+    ordinary partial+final grouped sum (ONE shuffle of small partials,
+    never a per-type pass)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": b["user_id"]}
+        for t in types:
+            out[f"n_{t}"] = (b["event_type"] == t).astype("int64")
+        return pd.DataFrame(out)
+
+    wide = ds.map_batches(widen, batch_format="pandas", batch_size=65536)
+    return rel.grouped_sum(wide, ["user_id"], [f"n_{t}" for t in types])
+
+
 def union_orders(sf_dir: str):
     """Dataset.union coverage: two disjoint filters recombined."""
     hi = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
@@ -880,6 +980,11 @@ QUERIES = {
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
     "props_k_by_type": props_k_by_type,
+    "q6_revenue": q6_revenue,
+    "distinct_users_by_type": distinct_users_by_type,
+    "scrub_props": scrub_props,
+    "running_user_totals": running_user_totals,
+    "pivot_event_counts": pivot_event_counts,
     "sort_events": sort_events,
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
@@ -1109,6 +1214,41 @@ ORDER BY total_cents DESC, o_orderkey LIMIT 20
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+    "q6_revenue": """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND(l_discount*100) AS BIGINT)), 0) AS BIGINT) AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+    "distinct_users_by_type": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+    "scrub_props": r"""
+SELECT event_id,
+       regexp_replace(props, '\d+', '#', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_masked
+FROM events
+""",
+    "running_user_totals": """
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events
+""",
+    "pivot_event_counts": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY 1
 """,
     "tumbling_events": _TUMBLING_SQL,
