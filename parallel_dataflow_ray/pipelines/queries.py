@@ -952,6 +952,50 @@ def stream_audio_energy(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def stream_audio_spectral(sf_dir: str):
+    """The bench flagship as a registry entry (rows-only): clips ->
+    epochs -> windowed framed-FFT spectral features (mel bands, centroid,
+    deltas) via the combine-mode engine.  Deterministic: every per-clip
+    contribution is integer-quantized before the order-free sum."""
+    from ..streaming.kernels import AudioSpectral
+    table = clips_table(400, seed=42, lateness_ms=40, n_speakers=7)
+    epochs = epochs_from_table(table, 97)
+    eng = StreamEngine("window",
+                       {"spec": AudioSpectral(),
+                        "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
+def user_event_sequences(sf_dir: str):
+    """Grouped sequence building (collect/string_agg): each user's
+    time-ordered event-type path — the session-sequence shape a
+    behavioral / training-data pipeline mines.  Bucketed by user; one
+    per-group mergesort + join, never a global sort."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        out = g.groupby("user_id", as_index=False).agg(
+            seq=("event_type", ",".join),
+            n_events=("event_type", "size"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return rel.bucketed_groupby(ds, ["user_id"], per_user)
+
+
 def audio_features_q(sf_dir: str):
     """Multimodal actor-pool decode stage over the clips fixture."""
     import ray.data as rd
@@ -1020,6 +1064,8 @@ QUERIES = {
     "stream_session_events": stream_session_events,
     "stream_join_events": stream_join_events,
     "stream_audio_energy": stream_audio_energy,
+    "stream_audio_spectral": stream_audio_spectral,
+    "user_event_sequences": user_event_sequences,
     "audio_features": audio_features_q,
 }
 
@@ -1461,6 +1507,14 @@ b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
 t AS (SELECT COUNT(*) AS n FROM b)
 SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM b GROUP BY bigram HAVING COUNT(*) * 600 > (SELECT n FROM t)
+""",
+    "user_event_sequences": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS eu, event_id
+           FROM events)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY eu, event_id) AS seq,
+       COUNT(*) AS n_events
+FROM e GROUP BY user_id
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
     "stream_sliding_events": _SLIDING_SQL,
