@@ -167,8 +167,15 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
                                  self.out_text: b.loc[m, text_col].to_numpy()})
 
     d = docs.select_columns([id_col, text_col])
-    da = d.map_batches(CandidateDocs("id_a", "__ta"), batch_format="pandas")
-    db = d.map_batches(CandidateDocs("id_b", "__tb"), batch_format="pandas")
+    # ONE corpus scan: the filtered candidate-doc set is O(pairs) small,
+    # so materialize it once and derive both join sides from it (the
+    # per-side renames run over the tiny filtered set, not the corpus)
+    cd = d.map_batches(CandidateDocs("__cid", "__ct"),
+                       batch_format="pandas").materialize()
+    da = cd.map_batches(lambda b: b.rename(
+        columns={"__cid": "id_a", "__ct": "__ta"}), batch_format="pandas")
+    db = cd.map_batches(lambda b: b.rename(
+        columns={"__cid": "id_b", "__ct": "__tb"}), batch_format="pandas")
     j = bucket_join(pairs, da, on="id_a", num_buckets=16)
     j = bucket_join(j.materialize(), db, on="id_b", num_buckets=16)
     thr_milli = threshold * 1000
