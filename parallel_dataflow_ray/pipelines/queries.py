@@ -351,6 +351,44 @@ def anti_join_customers(sf_dir: str):
                            right_on="o_custkey", how="anti", num_buckets=16)
 
 
+def brand_revenue_by_nation(sf_dir: str):
+    """Star-schema multi-way join (TPC-H Q9 shape): lineitem fact ->
+    part brand (filtered dim) -> supplier -> nation name, as THREE
+    chained broadcast lookups — the dims are ``ray.put`` once and read
+    from each task's local object store, so the fact table crosses zero
+    shuffles; the only exchange is the final tiny grouped sum."""
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand"]).to_pandas()
+    part = part[part["p_brand"].isin(["Brand#11", "Brand#22", "Brand#33"])] \
+        .rename(columns={"p_partkey": "l_partkey"})
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    # compose supplier -> nation name on the driver (both dims are tiny)
+    supp = supp.merge(nation, left_on="s_nationkey",
+                      right_on="n_nationkey")[["s_suppkey", "n_name"]] \
+        .rename(columns={"s_suppkey": "l_suppkey"})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+    li = rel.broadcast_lookup(li, part, on="l_partkey", add_columns=["p_brand"])
+    li = li.map_batches(lambda b: b[b["p_brand"].notna()],
+                        batch_format="pandas")
+    li = rel.broadcast_lookup(li, supp, on="l_suppkey", add_columns=["n_name"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        p = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.rint((1 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        return pd.DataFrame({"n_name": b["n_name"], "p_brand": b["p_brand"],
+                             "revenue_c4": p * d})
+
+    li = li.map_batches(rev, batch_format="pandas")
+    return rel.grouped_sum(li, ["n_name", "p_brand"], ["revenue_c4"],
+                           count_as="n_items", num_buckets=4)
+
+
 def left_join_customer_orders(sf_dir: str):
     """LEFT outer join: every customer row survives; customers without
     a qualifying (>400k) order carry ``total_cents = -1``.  Each key's
@@ -969,6 +1007,24 @@ def stream_audio_spectral(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def stream_dedup_clips(sf_dir: str):
+    """Streaming ingest dedup (rows-only): clips stream with a dup
+    every 13 rows -> FirstSeen kernel keeps each clip_id's first
+    occurrence per (speaker, window); oracle parity + ooo/salted
+    delivery covered by the differential suite."""
+    from ..streaming.kernels import FirstSeen
+    table = clips_table(400, seed=42, lateness_ms=40, n_speakers=7,
+                        dup_every=13)
+    epochs = epochs_from_table(table, 97)
+    eng = StreamEngine("window",
+                       {"spec": FirstSeen(),
+                        "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
 def user_event_sequences(sf_dir: str):
     """Grouped sequence building (collect/string_agg): each user's
     time-ordered event-type path — the session-sequence shape a
@@ -1021,6 +1077,7 @@ QUERIES = {
     "outer_join_user_activity": outer_join_user_activity,
     "range_join_error_after_signup": range_join_error_after_signup,
     "broadcast_region_count": broadcast_region_count,
+    "brand_revenue_by_nation": brand_revenue_by_nation,
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
     "props_k_by_type": props_k_by_type,
@@ -1065,6 +1122,7 @@ QUERIES = {
     "stream_join_events": stream_join_events,
     "stream_audio_energy": stream_audio_energy,
     "stream_audio_spectral": stream_audio_spectral,
+    "stream_dedup_clips": stream_dedup_clips,
     "user_event_sequences": user_event_sequences,
     "audio_features": audio_features_q,
 }
@@ -1249,6 +1307,19 @@ SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
                JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1
+""",
+    "brand_revenue_by_nation": """
+SELECT n.n_name, p.p_brand,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS BIGINT)
+         AS revenue_c4,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+GROUP BY 1, 2
 """,
     "topk_orders": """
 SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents

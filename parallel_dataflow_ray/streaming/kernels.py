@@ -69,6 +69,46 @@ class ActiveVersions(StreamOpSpec):
                 "versions": ";".join(f"{c}@{o}" for c, o in versions)}
 
 
+class FirstSeen(StreamOpSpec):
+    """Streaming ingest dedup: the FIRST occurrence of each clip_id per
+    (speaker, window) — the exactly-once event-dedup every large-scale
+    ingest runs before anything else (the clips fixture replays a dup
+    every 13 rows).  State = {clip_id: min offset}; the meet is
+    element-wise MIN over disjoint partials (the order-dual of K1's
+    max-kill), so partial+final merge and idempotent epoch replay are
+    safe by the same semilattice argument."""
+
+    name = "first_seen"
+    key_column = "speaker_id"
+    value_columns = ("clip_id",)
+
+    def initial_state(self) -> dict:
+        return {"first": {}, "n_rows": 0}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        out = dict(a["first"])
+        for k, v in b["first"].items():
+            if k not in out or v < out[k]:
+                out[k] = v
+        return {"first": out, "n_rows": a["n_rows"] + b["n_rows"]}
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        f = state["first"]
+        for r in rows:
+            cid, off = r["clip_id"], r["offset"]
+            if cid not in f or off < f[cid]:
+                f[cid] = off
+            state["n_rows"] += 1
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        firsts = sorted(state["first"].items())
+        return {"key": key, **_fmt_window(window),
+                "n_unique": len(firsts),
+                "n_dups": state["n_rows"] - len(firsts),
+                "firsts": ";".join(f"{c}@{o}" for c, o in firsts)}
+
+
 class ReverseLiveWords(StreamOpSpec):
     """K2: backward fold. Treat a transcript's first word as the "dest"
     and the rest as "args" (the LiveVars transfer shape,
@@ -445,6 +485,6 @@ class AudioSpectral(StreamOpSpec):
 
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
-    (ActiveVersions, ReverseLiveWords, MetaConstants, CommonWords,
-     ClipStats, AudioEnergy, AudioSpectral)
+    (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
+     CommonWords, ClipStats, AudioEnergy, AudioSpectral)
 }
