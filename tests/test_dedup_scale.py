@@ -78,3 +78,19 @@ def test_lsh_embedding_neardup_recall():
     # verified cos_milli values match the exact path's for shared pairs
     m = got.merge(want, on=["id_a", "id_b"], suffixes=("", "_w"))
     assert (m["cos_milli"] == m["cos_milli_w"]).all()
+
+
+def test_exact_dedup_carry_keeps_winners_attrs():
+    # duplicate texts across ids: the min-id row's carried column must
+    # survive, not an arbitrary group member's
+    df = pd.DataFrame({
+        "doc_id": [5, 2, 9, 7, 1],
+        "text":   ["aa", "aa", "bb", "bb", "cc"],
+        "n_tokens": [50, 20, 90, 70, 10],
+    })
+    got = dd.exact_dedup(rd.from_pandas(df), carry=["n_tokens"]) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+    want = pd.DataFrame({"doc_id": [1, 2, 7], "n_dups": [1, 2, 2],
+                         "n_tokens": [10, 20, 70]})
+    pd.testing.assert_frame_equal(got[["doc_id", "n_dups", "n_tokens"]],
+                                  want, check_dtype=False)
