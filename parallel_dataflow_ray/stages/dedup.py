@@ -240,6 +240,7 @@ def components_labels(pairs: rd.Dataset, *, id_a: str = "id_a",
         return a[["node", "label", "__chg"]]
 
     sentinel = np.iinfo(np.int64).max
+    converged = False
     for _ in range(max_rounds):
         msgs = bucket_join(edges, labels, on="src", right_on="node",
                            num_buckets=16).map_batches(
@@ -257,7 +258,16 @@ def components_labels(pairs: rd.Dataset, *, id_a: str = "id_a",
             batch_format="pandas").to_pandas()["c"].sum())
         labels = new.select_columns(["node", "label"])
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning silently would hand back WRONG cluster ids; rounds
+        # needed ≈ component diameter, so this only trips on a
+        # pathological chain — fail loudly and let the caller raise
+        # max_rounds
+        raise RuntimeError(
+            f"components_labels did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds?)")
     return labels.map_batches(
         lambda b: pd.DataFrame({node_col: b["node"].astype(np.int64),
                                 "cluster_id": b["label"].astype(np.int64)}),
