@@ -217,6 +217,13 @@ def components_labels(pairs: rd.Dataset, *, id_a: str = "id_a",
             "src": np.concatenate([b[id_a].to_numpy(), b[id_b].to_numpy()]),
             "dst": np.concatenate([b[id_b].to_numpy(), b[id_a].to_numpy()])}),
         batch_format="pandas").materialize()
+    if edges.count() == 0:
+        # no near-dup pairs at all — skip the whole propagation loop
+        # (edges is already materialized, so this count is free)
+        return rd.from_arrow(pa.table(
+            {node_col: pa.array([], type=pa.int64()),
+             "cluster_id": pa.array([], type=pa.int64())}))
+
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         # the edges are already keyed by src here, so the first
         # propagation round is free: label = min(node, min neighbor)

@@ -94,3 +94,13 @@ def test_exact_dedup_carry_keeps_winners_attrs():
                          "n_tokens": [10, 20, 70]})
     pd.testing.assert_frame_equal(got[["doc_id", "n_dups", "n_tokens"]],
                                   want, check_dtype=False)
+
+
+def test_components_empty_pairs():
+    empty = rd.from_pandas(pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                         "id_b": pd.Series(dtype="int64")}))
+    got = dd.components_labels(empty, node_col="doc_id")
+    # NB: Dataset.to_pandas() drops columns when there are zero rows, so
+    # assert on the dataset schema (which downstream joins consume)
+    assert got.schema().names == ["doc_id", "cluster_id"]
+    assert got.count() == 0
