@@ -134,3 +134,13 @@ def test_interval_join_empty_result():
                         ts="ts", start="s", end="e", chunk_us=100,
                         num_buckets=2).to_pandas()
     assert len(got) == 0
+
+
+def test_right_join_matches_pandas_merge():
+    l, r = _left(), _right().rename(columns={"payload": "rv"})
+    got = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="rk", how="right", num_buckets=4).to_pandas()
+    want = l.merge(r.rename(columns={"rk": "k"}), on="k", how="right")
+    pd.testing.assert_frame_equal(_canon_merge(got), _canon_merge(want))
+    # the right-only key (9) survives with a null left side
+    assert (got["k"] == 9).any()
