@@ -144,3 +144,36 @@ def test_right_join_matches_pandas_merge():
     pd.testing.assert_frame_equal(_canon_merge(got), _canon_merge(want))
     # the right-only key (9) survives with a null left side
     assert (got["k"] == 9).any()
+
+
+# property-based: every bucket_join mode == the pandas twin on random
+# key multisets (duplicates, missing keys, both-side-only keys)
+from hypothesis import given, settings, strategies as st
+
+_keys = st.lists(st.integers(min_value=0, max_value=6), min_size=0,
+                 max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(lk=_keys, rk=_keys,
+       how=st.sampled_from(["inner", "left", "right", "outer",
+                            "semi", "anti"]))
+def test_bucket_join_property_matches_pandas(lk, rk, how):
+    l = pd.DataFrame({"k": pd.Series(lk, dtype="int64"),
+                      "lv": pd.Series(range(len(lk)), dtype="int64")})
+    r = pd.DataFrame({"rk": pd.Series(rk, dtype="int64"),
+                      "rv": pd.Series(range(len(rk)), dtype="int64")})
+    if len(l) == 0 or len(r) == 0:
+        return  # from_pandas of an empty frame has no schema to join on
+    got = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      right_on="rk", how=how, num_buckets=3).to_pandas()
+    if how == "semi":
+        want = l[l["k"].isin(set(rk))]
+    elif how == "anti":
+        want = l[~l["k"].isin(set(rk))]
+    else:
+        want = l.merge(r.rename(columns={"rk": "k"}), on="k", how=how)
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    pd.testing.assert_frame_equal(_canon_merge(got), _canon_merge(want))
