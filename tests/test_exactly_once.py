@@ -28,7 +28,9 @@ P = 4
 
 
 def _table():
-    return fixtures.clips_table(N, seed=42, lateness_ms=40, n_speakers=7)
+    # dup_every exercises FirstSeen's dedup under replay
+    return fixtures.clips_table(N, seed=42, lateness_ms=40, n_speakers=7,
+                                dup_every=13)
 
 
 def _sink_rows(root) -> list[dict]:
@@ -36,17 +38,17 @@ def _sink_rows(root) -> list[dict]:
     return canonical_sort(t.to_pylist()) if t is not None else []
 
 
-def _oracle_rows():
+def _oracle_rows(kernel="clip_stats"):
     epochs = epochs_from_table(_table(), EPOCH_ROWS)
     rows, _ = OracleExecutor(
-        "window", {"spec": KERNELS["clip_stats"](), "assigner": WIN},
+        "window", {"spec": KERNELS[kernel](), "assigner": WIN},
         LATENESS_US).run(epochs)
     return canonical_sort(rows)
 
 
-def _engine(tmp, **kw):
+def _engine(tmp, kernel="clip_stats", **kw):
     return StreamEngine("window",
-                        {"spec": KERNELS["clip_stats"](), "assigner": WIN},
+                        {"spec": KERNELS[kernel](), "assigner": WIN},
                         num_partitions=P, allowed_lateness_us=LATENESS_US,
                         sink_root=str(tmp / "sink"), ckpt_root=str(tmp / "ckpt"),
                         ckpt_interval=2, **kw)
@@ -58,27 +60,28 @@ def test_uninterrupted_sink_matches_oracle(tmp_path):
     assert _sink_rows(tmp_path / "sink") == _oracle_rows()
 
 
+@pytest.mark.parametrize("kernel", ["clip_stats", "first_seen"])
 @pytest.mark.parametrize("partial", [False, True], ids=["clean-kill", "partial-commit"])
-def test_kill_and_resume_exactly_once(tmp_path, partial):
+def test_kill_and_resume_exactly_once(tmp_path, partial, kernel):
     epochs = epochs_from_table(_table(), EPOCH_ROWS)
     kill_at = len(epochs) // 2
     # crash: stop after epoch kill_at; optionally only partitions {0,1}
     # managed to commit that epoch (a mid-epoch crash)
-    _engine(tmp_path).run(
+    _engine(tmp_path, kernel).run(
         epochs, stop_after_epoch=kill_at,
         commit_partitions={0, 1} if partial else None)
     partial_rows = _sink_rows(tmp_path / "sink")
-    oracle = _oracle_rows()
+    oracle = _oracle_rows(kernel)
     assert len(partial_rows) < len(oracle)  # genuinely interrupted mid-stream
 
     # resume: same engine config, same input — restores from checkpoints,
     # replays uncommitted epochs; replayed commits are absorbed
-    res = _engine(tmp_path).run(epochs)
+    res = _engine(tmp_path, kernel).run(epochs)
     assert res["start_epoch"] > 0  # proves it resumed, not re-ran
     assert _sink_rows(tmp_path / "sink") == oracle
 
     # replaying the ENTIRE job a third time must change nothing (idempotence)
-    _engine(tmp_path).run(epochs)
+    _engine(tmp_path, kernel).run(epochs)
     assert _sink_rows(tmp_path / "sink") == oracle
 
 
