@@ -3,6 +3,7 @@ sink + canonicalizer stage."""
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from parallel_dataflow_ray import fixtures, job
@@ -69,3 +70,36 @@ def test_canonicalizer_stage(ray_session):
                          pa.array(["  á  b  "] * 20))
     out = canonicalize(rd.from_arrow(messy)).take(1)[0]
     assert out["transcript"] == "á b"  # NFC + whitespace collapse
+
+
+def test_job_first_seen_kernel(tmp_path, ray_session):
+    """Ingest-dedup through the ray-job CLI entry: sink row parity with
+    the oracle over a dup-bearing stream."""
+    d = tmp_path / "frags"
+    d.mkdir()
+    t = fixtures.clips_table(300, seed=42, lateness_ms=40, n_speakers=5)
+    # verbatim re-deliveries (same clip_id/speaker/ts/offset) — the
+    # at-least-once ingest duplicates FirstSeen exists to absorb
+    t = pa.concat_tables([t, t.slice(40, 60)]).sort_by("event_ts")
+    for i in range(0, 360, 120):
+        pq.write_table(t.slice(i, 120), str(d / f"part-{i:05d}.parquet"))
+    summary = job.main([
+        "--kernel", "first_seen", "--input", str(d), "--window", "tumbling",
+        "--window-ms", "2000", "--partitions", "3", "--lateness-ms", "50",
+        "--sink", str(tmp_path / "sink"),
+    ])
+    assert summary["emitted"] > 0
+    from parallel_dataflow_ray.streaming import OracleExecutor, TumblingWindows
+    from parallel_dataflow_ray.streaming.kernels import KERNELS
+    from parallel_dataflow_ray.streaming.oracle import canonical_sort
+    from parallel_dataflow_ray.streaming.partitioning import parquet_epochs
+    from parallel_dataflow_ray.streaming.sink import ExactlyOnceSink
+    rows, _ = OracleExecutor(
+        "window", {"spec": KERNELS["first_seen"](),
+                   "assigner": TumblingWindows(2_000_000)},
+        50_000).run(parquet_epochs(str(d)), final_flush=True)
+    got = ExactlyOnceSink.read_all(str(tmp_path / "sink"))
+    assert canonical_sort(got.to_pylist()) == canonical_sort(rows)
+    # duplicates actually existed and were deduped
+    n_dups = sum(r["n_dups"] for r in rows)
+    assert n_dups > 0
