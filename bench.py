@@ -233,14 +233,23 @@ def scaling() -> None:
     bw_hi = _mem_bandwidth_gbps(hi)
     runs = []
     for _ in range(pairs):
+        # host phase can flip WITHIN a pair (observed: lo leg on a
+        # healthy phase, hi leg after co-tenants resumed -> a ratio
+        # that measures the host, not the engine) — so snapshot the
+        # memcopy control immediately before EACH leg and attach it,
+        # letting a reader reject legs whose control was degraded
         _settle()
+        ctl_lo = _mem_bandwidth_gbps(min(8, lo), 2.0)
         r_lo = run(lo)
         _settle()  # let writeback/load drain so the hi leg measures the
         # engine, not the tail of the previous process
+        ctl_hi = _mem_bandwidth_gbps(min(8, lo), 2.0)
         r_hi = run(hi)
         thr_lo, thr_hi = r_lo["clips_per_sec"], r_hi["clips_per_sec"]
         runs.append({"clips_per_sec_lo": thr_lo, "clips_per_sec_hi": thr_hi,
-                     "efficiency": round((thr_hi / thr_lo) / (hi / lo), 3)})
+                     "efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+                     "ctl_gbps_before_lo": ctl_lo,
+                     "ctl_gbps_before_hi": ctl_hi})
     effs = sorted(r["efficiency"] for r in runs)
     med = effs[len(effs) // 2]
     print(json.dumps({
