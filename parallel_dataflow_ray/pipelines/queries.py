@@ -1065,7 +1065,13 @@ def audio_features_q(sf_dir: str):
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+# Registry order is the driver's sweep order, and round-2's CORRECTNESS
+# run recorded exactly the FIRST 50 entries — so every oracle-gated
+# query comes first (the 5 SQL-gated CEP-engine queries right after
+# their batch twins: those rows are the engine-under-driver-oracle
+# headline), and rows-only entries (weaker check by design) come last.
 QUERIES = {
+    # -- oracle-gated (DuckDB hash-match) --------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "filter_high_value": filter_high_value,
     "q3_top_orders": q3_top_orders,
@@ -1090,6 +1096,11 @@ QUERIES = {
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
     "session_events": session_events,
+    "stream_tumbling_events": stream_tumbling_events,
+    "stream_sliding_events": stream_sliding_events,
+    "stream_session_events": stream_session_events,
+    "stream_join_events": stream_join_events,
+    "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
     "lang_count": lang_count,
@@ -1102,29 +1113,25 @@ QUERIES = {
     "topk_users_hourly": topk_users_hourly,
     "docs_quality": docs_quality,
     "langid_docs": langid_docs,
+    "ngram_jaccard_neardup": ngram_jaccard_neardup,
+    "knn_topk": knn_topk,
+    "embedding_neardup": embedding_neardup,
+    "neardup_clusters": neardup_clusters,
+    "ann_self_topk": ann_self_topk,
+    "quantiles_lineitem": quantiles_lineitem,
+    "heavy_bigrams": heavy_bigrams,
+    # -- rows-only (no SQL-expressible oracle) ---------------------------
+    "stream_audio_energy": stream_audio_energy,
+    "stream_audio_spectral": stream_audio_spectral,
+    "stream_dedup_clips": stream_dedup_clips,
+    "audio_features": audio_features_q,
     "fingerprint_docs": fingerprint_docs,
     "minhash_neardup": minhash_neardup,
     "minhash_clusters": minhash_clusters,
     "simhash_neardup": simhash_neardup,
-    "ngram_jaccard_neardup": ngram_jaccard_neardup,
-    "knn_topk": knn_topk,
-    "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh_q,
-    "neardup_clusters": neardup_clusters,
     "ivf_topk": ivf_topk_q,
-    "ann_self_topk": ann_self_topk,
-    "quantiles_lineitem": quantiles_lineitem,
     "approx_distinct_users": approx_distinct_users,
-    "heavy_bigrams": heavy_bigrams,
-    "stream_tumbling_events": stream_tumbling_events,
-    "stream_sliding_events": stream_sliding_events,
-    "stream_session_events": stream_session_events,
-    "stream_join_events": stream_join_events,
-    "stream_audio_energy": stream_audio_energy,
-    "stream_audio_spectral": stream_audio_spectral,
-    "stream_dedup_clips": stream_dedup_clips,
-    "user_event_sequences": user_event_sequences,
-    "audio_features": audio_features_q,
 }
 
 _TUMBLING_SQL = """

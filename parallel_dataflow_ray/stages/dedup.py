@@ -51,9 +51,13 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
-        out = g.groupby("__fp", as_index=False).agg(
-            **{id_col: (id_col, "first"), "n_dups": (id_col, "size"),
-               **{c: (c, "first") for c in carry}})
+        # position-first, NOT groupby agg "first" (which skips NaN and
+        # would silently pull a null carry value from the next group
+        # member instead of the winning row)
+        win = g.drop_duplicates("__fp", keep="first")
+        sz = g.groupby("__fp", sort=False).size()
+        out = win.copy()
+        out["n_dups"] = sz.loc[win["__fp"]].to_numpy(np.int64)
         return out[[id_col, "n_dups", *carry]]
 
     fps = ds.map_batches(add_fp, batch_format="pandas")

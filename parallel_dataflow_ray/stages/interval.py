@@ -63,8 +63,11 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset, *,
         c1 = np.maximum(e - 1, s) // chunk_us        # inclusive last chunk
         cnt = (c1 - c0 + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(b), dtype=np.int64), cnt)
-        # per-interval chunk offsets 0..cnt-1, computed without a loop
-        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        # per-interval chunk offsets 0..cnt-1, computed without a loop;
+        # exclusive prefix sum as cumsum-cnt stays length-len(b) (and
+        # empty for an empty batch — np.concatenate(([0], ...)) raised
+        # on the repeat for len(b)==0)
+        starts = np.cumsum(cnt) - cnt
         off = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(starts, cnt)
         out = b.iloc[idx].copy()
         out["__chunk"] = c0[idx] + off

@@ -186,8 +186,9 @@ def heavy_hitters(ds: rd.Dataset, item_fn, *, item_col: str = "item",
     classic space-saving/Misra-Gries decomposition):
 
     1. **Sketch**: each batch emits its top ``2*inv_phi - 1`` items with
-       their exact in-batch counts, plus one sentinel row (``item=""``)
-       carrying the batch's total item count.  An item omitted from a
+       their exact in-batch counts, plus one ``__is_total``-flagged row
+       carrying the batch's total item count (a separate flag column, so
+       every string — including "" — is a reportable item).  An item omitted from a
        batch's top-k has in-batch count <= batch_n/(k+1), so the summed
        lower bound undercounts any item by at most ``n/(k+1) = n/(2*inv_phi)``
        globally.  Partials are merged by a bucketed sum; candidates are
@@ -209,29 +210,34 @@ def heavy_hitters(ds: rd.Dataset, item_fn, *, item_col: str = "item",
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         items = item_fn(b)
         vc = items.value_counts().head(capacity)
+        # per-batch total rides in a separate flag column, NOT an
+        # in-band sentinel value — any string (incl. "") is a valid item
         out = pd.DataFrame({item_col: vc.index.astype(str),
-                            "__cnt": vc.to_numpy(np.int64)})
+                            "__cnt": vc.to_numpy(np.int64),
+                            "__is_total": False})
         total = pd.DataFrame({item_col: [""],
-                              "__cnt": np.array([len(items)], np.int64)})
+                              "__cnt": np.array([len(items)], np.int64),
+                              "__is_total": True})
         return pd.concat([out, total], ignore_index=True)
 
     sketch = ds.map_batches(local_topk, batch_format="pandas",
                             batch_size=65536)
     summed = bucketed_groupby(
-        sketch, [item_col],
-        lambda g: g.groupby(item_col, as_index=False, sort=False)["__cnt"].sum(),
+        sketch, [item_col, "__is_total"],
+        lambda g: g.groupby([item_col, "__is_total"], as_index=False,
+                            sort=False)["__cnt"].sum(),
         num_buckets=num_buckets)
 
-    # materialize the (small) summed partials once: read the sentinel
+    # materialize the (small) summed partials once: read the total
     # n, then cut candidates DISTRIBUTED — the driver only ever pulls
-    # the sentinel row and the <= 2*inv_phi candidate rows, never the
+    # the total row and the <= 2*inv_phi candidate rows, never the
     # full sketched-item table.
     summed = summed.materialize()
     n = int(summed.map_batches(
-        lambda g: g[g[item_col] == ""], batch_format="pandas"
+        lambda g: g[g["__is_total"]], batch_format="pandas"
     ).to_pandas()["__cnt"].sum())
     cand = summed.map_batches(
-        lambda g: g.loc[(g[item_col] != "")
+        lambda g: g.loc[(~g["__is_total"])
                         & (2 * inv_phi * g["__cnt"] >= n), [item_col]],
         batch_format="pandas").to_pandas()
     candidates = set(cand[item_col].tolist())
