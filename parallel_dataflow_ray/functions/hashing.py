@@ -175,6 +175,16 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays of any shape (byte-LUT —
+    numpy<2 has no ``bitwise_count``).  Returns int64, same shape."""
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return _POP_LUT[b].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
+
+
 def simhash_band_matrix(h: np.ndarray, bands: int = 4) -> np.ndarray:
     """int64[n, bands] band chunks of 64-bit simhashes — vectorized twin
     of :func:`simhash_band_keys` for whole-batch LSH explode."""

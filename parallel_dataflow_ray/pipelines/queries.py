@@ -776,10 +776,18 @@ def neardup_clusters(sf_dir: str):
 
 
 def ivf_topk_q(sf_dir: str):
-    """Approximate ANN (rows-only; recall vs brute force asserted in tests)."""
+    """Approximate ANN (rows-only; recall vs brute force asserted in
+    tests).  Centroids are trained once per sf_dir and persisted as a
+    parquet artifact — repeat calls probe without re-training."""
+    import os
+
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vectors(sf_dir)
-    out = sim.ivf_topk(ds, q, k=10)
+    key = sf_dir.strip("/").replace("/", "_")
+    C = sim.load_or_train_centroids(
+        ds, 16, cache_path=os.path.join(
+            "/tmp/graft_artifacts", f"ivf_centroids_{key}_16.parquet"))
+    out = sim.ivf_topk(ds, q, k=10, centroids=C)
     out["query_id"] = out["query_id"].astype("int64")
     return out
 

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.hashing import (MinHasher, hamming64, simhash64_batch,
+from ..functions.hashing import (MinHasher, popcount64, simhash64_batch,
                                  simhash_band_matrix)
 from ..functions.text import fingerprint64, jaccard, word_shingles
 
@@ -139,35 +139,52 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
     filter ``>= threshold*1000``)."""
     import ray as _ray
 
-    from .relational import bucket_join
+    from .relational import bucket_join, bucketed_groupby
 
     # materialize the (small, LSH-pruned) pair set so schema inspection
     # and the two join passes don't re-execute the candidate pipeline
     pairs = pairs.materialize()
-    # broadcast semi-join: only docs that appear in SOME candidate pair
-    # enter the joins, so the shuffled text bytes scale with the
-    # candidate count (O(output)), not the corpus.  The id set on the
-    # driver is bounded by 2x the pair count — the same order as the
-    # result itself.
-    pdf = pairs.to_pandas()
-    id_ref = _ray.put(frozenset(np.concatenate(
-        [pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()]).tolist()))
+    # broadcast SEMI-join, driver-free: the distinct candidate-id set is
+    # computed DISTRIBUTED (bucketed dedup over the pair ids) and only
+    # its object-store block refs travel to the filter tasks — the
+    # driver never holds the pair set (no pairs.to_pandas()), and the
+    # corpus text is filtered map-side, never shuffled.  Semantically
+    # identical to bucket_join(docs, pair_ids, how="semi"), but that
+    # shape would co-shuffle the full corpus (id, text) payload; this
+    # one ships O(distinct candidate ids) bytes once per node instead.
+    ids_ds = bucketed_groupby(
+        pairs.map_batches(
+            lambda b: pd.DataFrame({"__cid": np.concatenate(
+                [b["id_a"].to_numpy(), b["id_b"].to_numpy()])}),
+            batch_format="pandas"),
+        ["__cid"], lambda g: g.drop_duplicates("__cid"),
+        num_buckets=16).materialize()
+    id_block_refs = ids_ds.to_arrow_refs()
 
     class CandidateDocs:
-        """Instance-as-UDF carrying only the ObjectRef (ray.put once,
-        read per task from the local object store — never re-shipped
+        """Instance-as-UDF carrying only ObjectRefs (blocks read per
+        task from the local object store, zero-copy — never re-shipped
         with the function)."""
 
         def __init__(self, out_id: str, out_text: str):
-            self.ref = id_ref
-            self.keep: frozenset | None = None
+            self.refs = id_block_refs
+            self.keep: np.ndarray | None = None
             self.out_id, self.out_text = out_id, out_text
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             if self.keep is None:
-                self.keep = _ray.get(self.ref)
-            m = b[id_col].isin(self.keep)
-            return pd.DataFrame({self.out_id: b.loc[m, id_col].to_numpy(),
+                blocks = _ray.get(list(self.refs))
+                self.keep = (np.sort(np.concatenate(
+                    [t["__cid"].to_numpy() for t in blocks if t.num_rows]))
+                    if blocks else np.empty(0, dtype=np.int64))
+            ids = b[id_col].to_numpy()
+            if self.keep.size == 0:
+                m = np.zeros(len(ids), dtype=bool)
+            else:
+                pos = np.minimum(np.searchsorted(self.keep, ids),
+                                 self.keep.size - 1)
+                m = self.keep[pos] == ids
+            return pd.DataFrame({self.out_id: ids[m],
                                  self.out_text: b.loc[m, text_col].to_numpy()})
 
     d = docs.select_columns([id_col, text_col])
@@ -319,9 +336,48 @@ def simhash_sketch(ds: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Datas
     return ds.map_batches(sketch, batch_format="pandas", batch_size=1024)
 
 
+_SIMHASH_TILE = 4096         # pair-matrix tile edge: bounds any temp to
+                             # tile² x 8 B (~134 MB) even in a hot bucket
+
+
+def _simhash_bucket_pairs(ids: np.ndarray, hs: np.ndarray,
+                          max_hamming: int) -> list[pd.DataFrame]:
+    """All (id_a < id_b, hamming) pairs within one LSH bucket —
+    vectorized XOR + byte-LUT popcount, tiled so a hot bucket (many
+    near-identical sketches) never materializes an unbounded n² temp."""
+    outs = []
+    n = ids.size
+    for i0 in range(0, n, _SIMHASH_TILE):
+        a_ids = ids[i0:i0 + _SIMHASH_TILE]
+        a_hs = hs[i0:i0 + _SIMHASH_TILE]
+        for j0 in range(i0, n, _SIMHASH_TILE):
+            b_ids = ids[j0:j0 + _SIMHASH_TILE]
+            b_hs = hs[j0:j0 + _SIMHASH_TILE]
+            d = popcount64(a_hs[:, None] ^ b_hs[None, :])
+            hit = d <= max_hamming
+            if i0 == j0:
+                hit = np.triu(hit, k=1)      # ids sorted -> id_a < id_b
+            a, b = np.nonzero(hit)
+            if a.size:
+                outs.append(pd.DataFrame({
+                    "id_a": a_ids[a].astype(np.int64),
+                    "id_b": b_ids[b].astype(np.int64),
+                    "hamming": d[a, b]}))
+    return outs
+
+
 def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
-                       id_col="doc_id") -> pd.DataFrame:
-    """documents -> verified near-dup pairs by simhash hamming distance."""
+                       id_col="doc_id", num_buckets: int = 32) -> rd.Dataset:
+    """documents -> verified near-dup pairs by simhash hamming distance.
+
+    4 x 16-bit band LSH: any pair within hamming <= 3 shares a chunk
+    (pigeonhole), so for ``max_hamming <= 3`` the output is EXACTLY the
+    hamming-ball pair set, not an approximation.  Pair generation is a
+    distributed Dataset end to end: per-bucket vectorized XOR+popcount
+    (no per-pair Python), multi-band duplicates removed by a second
+    bucketed groupby — nothing returns through the driver."""
+    from .relational import bucketed_groupby
+
     sketches = simhash_sketch(ds, text_col, id_col)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -334,25 +390,15 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
             "band_key": keys.reshape(-1),
             "simhash": np.repeat(h, 4)})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sub = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = sub[id_col].to_numpy()
-        hs = sub["simhash"].to_numpy()
-        rows = []
-        for x in range(ids.size):
-            for y in range(x + 1, ids.size):
-                d = hamming64(int(hs[x]) & 0xFFFFFFFFFFFFFFFF,
-                              int(hs[y]) & 0xFFFFFFFFFFFFFFFF)
-                if d <= max_hamming:
-                    rows.append((ids[x], ids[y], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
-
-    from .relational import bucketed_groupby
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(sub)
-                for _, sub in g.groupby(["band_id", "band_key"], sort=False)
-                if len(sub) > 1]
+        outs = []
+        for _, sub in g.groupby(["band_id", "band_key"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates(id_col).sort_values(id_col)
+            outs.extend(_simhash_bucket_pairs(
+                sub[id_col].to_numpy(),
+                sub["simhash"].to_numpy().view(np.uint64), max_hamming))
         if not outs:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
@@ -360,38 +406,20 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
         return pd.concat(outs, ignore_index=True)
 
     exploded = sketches.map_batches(explode, batch_format="pandas")
-    pairs = bucketed_groupby(exploded, ["band_id", "band_key"], per_bucket).to_pandas()
-    return pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    pairs = bucketed_groupby(exploded, ["band_id", "band_key"], per_bucket,
+                             num_buckets=num_buckets)
+    # a pair surfaces once per colliding band -> distinct, distributed
+    return bucketed_groupby(
+        pairs, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=16)
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact, inverted-index shape)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold_milli: int = 500,
-                        shingle_k: int = 3, text_col: str = "text",
-                        id_col: str = "doc_id",
-                        num_buckets: int = 64) -> rd.Dataset:
-    """EXACT all-pairs word-``k``-gram Jaccard >= ``threshold_milli``/1000
-    via the classic inverted-index set-similarity join — never an O(n²)
-    doc×doc comparison:
-
-    1. ``map_batches``: per doc, the DISTINCT shingle set, hashed in one
-       vectorized SipHash pass over the flattened batch; emit
-       ``(doc_id, shingle_hash, set_size)`` rows.
-    2. bucketed groupby on the shingle hash: a vectorized self-merge per
-       bucket yields co-occurrence rows ``(id_a < id_b, sz_a, sz_b)`` —
-       each pair appears once PER SHARED SHINGLE.
-    3. bucketed groupby on the pair: ``inter = count`` and
-       ``jaccard_milli = (1000*inter) // (sz_a + sz_b - inter)``
-       (integer division — bit-exact vs the SQL oracle).
-
-    Only (hash, id) pairs shuffle; documents never leave stage 1.
-    Scale note: per-shingle fan-out is quadratic in the shingle's doc
-    frequency — word k-grams (k>=3) keep df near 1 except for
-    boilerplate, which is exactly the near-dup signal.  At 100 TB add a
-    df-cap / prefix-filter before stage 2 for stop-shingles."""
-    from .relational import bucketed_groupby
+def _ngram_explode_fn(text_col: str, id_col: str, shingle_k: int):
+    """Per-batch DISTINCT shingle set per doc -> (id, hash, set_size)."""
     from ..functions.hashing import _stable_token_hashes
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -407,7 +435,79 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold_milli: int = 500,
             "__g": h,
             "__sz": np.repeat(lens, lens)})
 
+    return explode
+
+
+def ngram_df_stats(ds: rd.Dataset, *, df_cap: int, shingle_k: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 64) -> pd.DataFrame:
+    """No-silent-caps companion to :func:`ngram_jaccard_pairs`: one extra
+    pass reporting exactly what a given ``df_cap`` drops —
+    ``(n_shingles, n_dropped, max_df)``.  Run it (and log the result)
+    whenever a capped near-dup job's recall matters."""
+    from .relational import bucketed_groupby
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _ngram_explode_fn(text_col, id_col, shingle_k),
+        batch_format="pandas", batch_size=1024)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("__g", sort=False).size()
+        return pd.DataFrame({
+            "n_shingles": [np.int64(df.size)],
+            "n_dropped": [np.int64((df > df_cap).sum())],
+            "max_df": [np.int64(df.max()) if df.size else np.int64(0)]})
+
+    parts = bucketed_groupby(exploded, ["__g"], per_bucket,
+                             num_buckets=num_buckets).to_pandas()
+    return pd.DataFrame({
+        "n_shingles": [int(parts["n_shingles"].sum())],
+        "n_dropped": [int(parts["n_dropped"].sum())],
+        "max_df": [int(parts["max_df"].max()) if len(parts) else 0]})
+
+
+def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold_milli: int = 500,
+                        shingle_k: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        num_buckets: int = 64,
+                        df_cap: int | None = 256) -> rd.Dataset:
+    """All-pairs word-``k``-gram Jaccard >= ``threshold_milli``/1000
+    via the classic inverted-index set-similarity join — never an O(n²)
+    doc×doc comparison:
+
+    1. ``map_batches``: per doc, the DISTINCT shingle set, hashed in one
+       vectorized SipHash pass over the flattened batch; emit
+       ``(doc_id, shingle_hash, set_size)`` rows.
+    2. bucketed groupby on the shingle hash: a vectorized self-merge per
+       bucket yields co-occurrence rows ``(id_a < id_b, sz_a, sz_b)`` —
+       each pair appears once PER SHARED SHINGLE.
+    3. bucketed groupby on the pair: ``inter = count`` and
+       ``jaccard_milli = (1000*inter) // (sz_a + sz_b - inter)``
+       (integer division — bit-exact vs the SQL oracle).
+
+    Only (hash, id) pairs shuffle; documents never leave stage 1.
+
+    ``df_cap`` bounds the quadratic per-shingle fan-out: inside stage 2
+    every shingle's bucket group size IS its exact global doc frequency
+    (all rows of a shingle hash co-locate), so groups with df > cap are
+    skipped before the self-merge — per-shingle output is bounded by
+    cap², and a boilerplate-heavy corpus (stop-shingles with df in the
+    millions) can no longer explode the merge.  Semantics under the cap:
+    pairs none of whose shared shingles were dropped are EXACT (the
+    fixtures' max df is 25, so the default 256 is a no-op there); a pair
+    sharing dropped shingles has ``inter`` undercounted — reported pairs
+    are still true pairs (J_true >= J_reported >= threshold), but a pair
+    whose every qualifying shared shingle is boilerplate can be missed.
+    Measure exactly what a cap drops with :func:`ngram_df_stats` (the
+    no-silent-caps companion); pass ``df_cap=None`` for the unbounded
+    exact join."""
+    from .relational import bucketed_groupby
+
     def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        if df_cap is not None:
+            # group size == exact global df of the shingle hash
+            g = g[g.groupby("__g", sort=False)["__g"]
+                   .transform("size") <= df_cap]
         m = g.merge(g, on="__g", suffixes=("_l", "_r"))
         m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
         return pd.DataFrame({
@@ -429,7 +529,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold_milli: int = 500,
         return out[out["jaccard_milli"] >= threshold_milli]
 
     shingled = ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pandas", batch_size=1024)
+        _ngram_explode_fn(text_col, id_col, shingle_k),
+        batch_format="pandas", batch_size=1024)
     co = bucketed_groupby(shingled, ["__g"], cooccur, num_buckets=num_buckets)
     return bucketed_groupby(co, ["id_a", "id_b"], finalize,
                             num_buckets=num_buckets)

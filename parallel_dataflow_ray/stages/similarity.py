@@ -85,24 +85,55 @@ def train_centroids(ds: rd.Dataset, n_centroids: int, vec_col: str = "embedding"
     return C
 
 
+def load_or_train_centroids(ds: rd.Dataset, n_centroids: int, *,
+                            cache_path: str, vec_col: str = "embedding",
+                            id_col: str = "vec_id", seed: int = 7) -> np.ndarray:
+    """Centroids trained ONCE per dataset and persisted as a tiny parquet
+    artifact (one list<double> row per centroid) — repeat ivf_topk calls
+    load instead of re-running Lloyd rounds.  Training is seeded, so a
+    cache hit is bit-identical to a retrain."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(cache_path):
+        t = pq.read_table(cache_path)
+        return np.stack(t["centroid"].to_numpy(zero_copy_only=False))
+    C = train_centroids(ds, n_centroids, vec_col, seed=seed, id_col=id_col)
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    tmp = f"{cache_path}.tmp.{os.getpid()}"
+    pq.write_table(pa.table({"centroid": pa.array(
+        [row.tolist() for row in C], type=pa.list_(pa.float64()))}), tmp)
+    os.replace(tmp, cache_path)          # atomic: concurrent callers race safely
+    return C
+
+
 def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int, *,
              n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> pd.DataFrame:
     """Approximate top-k: search only vectors whose centroid is among the
-    query's ``nprobe`` nearest.  Same output schema as brute force."""
-    C = train_centroids(ds, n_centroids, vec_col)
+    query's ``nprobe`` nearest.  Same output schema as brute force.
+    Pass ``centroids`` (e.g. from :func:`load_or_train_centroids`) to
+    skip the per-call training pass."""
+    C = train_centroids(ds, n_centroids, vec_col) if centroids is None \
+        else centroids.astype(np.float64)
     cref = ray.put(C)
     Q = queries.astype(np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    allowed = [set(map(int, row)) for row in probe]
-    aref = ray.put(allowed)
+    # (n_centroids, q) membership LUT: probe-list lookup per row is one
+    # fancy index, no per-row Python membership test
+    lut = np.zeros((C.shape[0], Q.shape[0]), dtype=bool)
+    lut[probe.ravel(), np.repeat(np.arange(Q.shape[0]), probe.shape[1])] = True
+    lref = ray.put(lut)
     qref = ray.put(Q)
 
     class ProbedTopK:
         def __init__(self):
             self.C = ray.get(cref)
-            self.allowed = ray.get(aref)
+            self.lut = ray.get(lref)
             self.Q = ray.get(qref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -110,17 +141,24 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int, *,
             ids = batch[id_col].to_numpy()
             cent = np.argmax(X @ self.C.T, axis=1)
             sim = X @ self.Q.T
-            rows = []
+            in_probe = self.lut[cent]                  # (n, q) bool
+            qs_out, ids_out, cos_out = [], [], []
             for q in range(self.Q.shape[0]):
-                mask = np.fromiter((int(c) in self.allowed[q] for c in cent),
-                                   dtype=bool, count=cent.size)
-                idx = np.nonzero(mask)[0]
+                idx = np.nonzero(in_probe[:, q])[0]
                 if idx.size == 0:
                     continue
                 kk = min(k + 1, idx.size)
                 loc = idx[np.argpartition(-sim[idx, q], kk - 1)[:kk]]
-                rows.extend((q, ids[i], sim[i, q]) for i in loc)
-            return pd.DataFrame(rows, columns=["query_id", id_col, "cos"])
+                qs_out.append(np.full(loc.size, q, dtype=np.int64))
+                ids_out.append(ids[loc])
+                cos_out.append(sim[loc, q])
+            if not qs_out:
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     id_col: pd.Series(dtype="int64"),
+                                     "cos": pd.Series(dtype="float64")})
+            return pd.DataFrame({"query_id": np.concatenate(qs_out),
+                                 id_col: np.concatenate(ids_out),
+                                 "cos": np.concatenate(cos_out)})
 
     local = ds.map_batches(ProbedTopK, batch_format="pandas", batch_size=4096,
                            concurrency=(1, 8)).to_pandas()

@@ -29,6 +29,21 @@ def test_ivf_recall_vs_brute_force(ray_session):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_ivf_centroid_cache_row_identical(ray_session, tmp_path):
+    """Cached centroids (parquet artifact) give bit-identical results to
+    in-call training, and the cache file round-trips exactly."""
+    ds = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+    q = _queries(ds)
+    path = str(tmp_path / "centroids.parquet")
+    c1 = sim.load_or_train_centroids(ds, 8, cache_path=path)   # trains
+    c2 = sim.load_or_train_centroids(ds, 8, cache_path=path)   # loads
+    assert (c1 == c2).all()
+    fresh = sim.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
+    cached = sim.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4,
+                          centroids=c2)
+    assert fresh.equals(cached)
+
+
 def test_brute_force_is_exact_and_deterministic(ray_session):
     ds = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])
     q = _queries(ds, n=3)
