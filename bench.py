@@ -41,7 +41,44 @@ BATCH_QUERIES = [
     "embedding_neardup_lsh",
     "knn_topk", "ann_self_topk", "quantiles_lineitem",
     "approx_distinct_users", "heavy_bigrams", "stream_tumbling_events",
+    "stream_join_events", "approx_quantiles_events",
 ]
+
+
+def bench_stream_join_skewed() -> float:
+    """Symmetric hash join under deliberate key skew (~20 % of rows on
+    one user): joins co-partition strictly by key (no salting — a hot
+    key's matches all need co-located state), so this records the skew
+    penalty the window path's salting avoids.  Returns seconds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parallel_dataflow_ray.streaming import StreamEngine
+    from parallel_dataflow_ray.streaming.partitioning import epochs_from_table
+
+    rng = np.random.default_rng(42)
+    n = 40_000
+    user = np.where(rng.random(n) < 0.2, 7,
+                    rng.integers(0, 5000, n)).astype(np.int64)
+    ts = np.sort(rng.integers(0, 3_600_000_000, n)).astype(np.int64)
+    side = rng.random(n) < 0.5
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"user_id": pa.array(user), "event_ts": pa.array(ts),
+                  "offset": pa.array(ids), "click_id": pa.array(ids),
+                  "purchase_id": pa.array(ids),
+                  "__stream": pa.array(side.astype(np.int8))})
+    epochs = epochs_from_table(t, 4000)
+    eng = StreamEngine("join",
+                       {"key_column": "user_id", "time_bound_us": 10_000_000,
+                        "left_columns": ("click_id",),
+                        "right_columns": ("purchase_id",)},
+                       num_partitions=8, allowed_lateness_us=0,
+                       key_column="user_id")
+    t0 = time.perf_counter()
+    res = eng.run(epochs, collect=True, final_flush=True)
+    dt = time.perf_counter() - t0
+    assert sum(len(ep) for ep in res["emitted"]) > 0
+    return dt
 
 
 def _consume(res) -> int:
@@ -143,7 +180,12 @@ def main() -> None:
     total = stream["run_sec"]
     batch_queries = ([] if os.environ.get("GRAFT_BENCH_STREAM_ONLY")
                      else BATCH_QUERIES)
+    ctl_before = ctl_after = None
     if batch_queries:
+        # host-phase control AROUND the battery (same memcopy probe the
+        # --scaling legs use): cross-round query-time comparisons are
+        # only attributable when both runs' controls are healthy
+        ctl_before = _mem_bandwidth_gbps(8, 2.0)
         # untimed warm pass: spin up the Ray Data executor + worker
         # imports once so the first timed query measures the operator,
         # not session ramp (mirrors the streaming bench's warm run)
@@ -155,11 +197,18 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
         assert n >= 0
+    if batch_queries:
+        dt = bench_stream_join_skewed()
+        per_query["stream_join_skewed"] = round(dt, 3)
+        total += dt
+        ctl_after = _mem_bandwidth_gbps(8, 2.0)
     per_query["stream_audio_spectral"] = stream["run_sec"]
 
     out = {"metric": "bench_total_sec", "value": round(total, 3), "unit": "sec",
            "queries": per_query, "sf": SF_DIR, "num_cpus": NUM_CPUS,
            "clips_per_sec": stream["clips_per_sec"],
+           "ctl_gbps_before_battery": ctl_before,
+           "ctl_gbps_after_battery": ctl_after,
            "stream": stream}
     ray.shutdown()
     print(json.dumps(out))

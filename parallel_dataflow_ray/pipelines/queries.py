@@ -800,6 +800,20 @@ def ann_self_topk(sf_dir: str):
     return sim.self_join_topk(ds, k=5)
 
 
+def approx_quantiles_events(sf_dir: str):
+    """Mergeable KLL quantile sketch over the RAW float value column —
+    the continuous-domain scale path (the exact histogram partials of
+    quantiles_lineitem are bounded by the quantized domain, unbounded on
+    floats).  Rows-only; the ≤2 % rank-error bound and merge-order
+    invariance are asserted in tests/test_sketches.py."""
+    from ..stages.sketches import grouped_quantiles_approx
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_approx(
+        ds, ["event_type"], "value", [0.5, 0.9, 0.99],
+        ["p50_approx", "p90_approx", "p99_approx"], count_as="n_rows")
+
+
 def quantiles_lineitem(sf_dir: str):
     """Distributed exact group quantiles (histogram-partial shuffle,
     percentile_disc semantics) over quantized extended price."""
@@ -1140,6 +1154,7 @@ QUERIES = {
     "embedding_neardup_lsh": embedding_neardup_lsh_q,
     "ivf_topk": ivf_topk_q,
     "approx_distinct_users": approx_distinct_users,
+    "approx_quantiles_events": approx_quantiles_events,
 }
 
 _TUMBLING_SQL = """

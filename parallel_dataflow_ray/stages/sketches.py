@@ -170,6 +170,148 @@ def grouped_approx_distinct(ds: rd.Dataset, keys: list[str], val_col: str,
 
 
 # ---------------------------------------------------------------------------
+# KLL quantile sketch: mergeable, distribution-free rank error — the
+# continuous-domain companion to the exact histogram path above (whose
+# partials are bounded by the quantized domain's cardinality and grow
+# unboundedly on raw floats)
+# ---------------------------------------------------------------------------
+
+
+class KLLSketch:
+    """Mergeable quantile sketch (Karnin-Lang-Liberty shape: weighted
+    level buffers, randomized-offset compaction).  Items at level ``h``
+    carry weight ``2**h``; a full level is sorted and every other item
+    promoted.  Space is O(k · log(n/k)); empirical rank error at k=200
+    is well under 1 % (asserted ≤ 2 % in tests, mirroring the HLL ≤5 %
+    pattern).  Merge is level-wise concatenation + the same compaction,
+    so partials fold in any order — the engine-wide partial+final shape
+    (reference impls/src/sequential.rs:32-37,52-58)."""
+
+    def __init__(self, k: int = 200, seed: int = 0):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        # deterministic compaction offsets: a counter-hash bit stream,
+        # so identical inputs give identical sketches (replay-safe)
+        self._ctr = np.uint64(seed * 0x9E3779B97F4A7C15 + 1)
+
+    def _coin(self) -> int:
+        self._ctr = (self._ctr * np.uint64(6364136223846793005)
+                     + np.uint64(1442695040888963407))
+        return int(self._ctr >> np.uint64(63))
+
+    def _compact(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            buf = self.levels[h]
+            if buf.size <= self.k:
+                h += 1
+                continue
+            buf = np.sort(buf)
+            keep = buf[self._coin()::2]
+            self.levels[h] = np.empty(0, dtype=np.float64)
+            if h + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[h + 1] = np.concatenate([self.levels[h + 1], keep])
+            h += 1
+
+    def update_batch(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += int(v.size)
+        self._compact()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, buf in enumerate(other.levels):
+            if buf.size:
+                self.levels[h] = np.concatenate([self.levels[h], buf])
+        self.n += other.n
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight reaches q*n
+        (percentile_disc shape over the weighted sample)."""
+        if self.n == 0:
+            return float("nan")
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([
+            np.full(buf.size, 1 << h, dtype=np.int64)
+            for h, buf in enumerate(self.levels)])
+        order = np.argsort(vals, kind="mergesort")
+        cum = np.cumsum(wts[order])
+        i = int(np.searchsorted(cum, q * cum[-1], side="left"))
+        return float(vals[order][min(i, vals.size - 1)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, int(self._ctr),
+                             [b for b in self.levels]))
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "KLLSketch":
+        import pickle
+
+        k, n, ctr, levels = pickle.loads(raw)
+        s = cls(k)
+        s.n, s._ctr = n, np.uint64(ctr)
+        s.levels = [np.asarray(b, dtype=np.float64) for b in levels]
+        return s
+
+
+def grouped_quantiles_approx(ds: rd.Dataset, keys: list[str], val_col: str,
+                             qs: list[float], out_names: list[str],
+                             count_as: str | None = None, k: int = 200,
+                             num_buckets: int = 64) -> rd.Dataset:
+    """Per-group approximate quantiles of a CONTINUOUS (float) column —
+    the scale path when the exact per-distinct-value histogram of
+    :func:`grouped_quantiles` would shuffle one row per distinct float.
+    Map side: one serialized KLL sketch row per (batch, key) — bounded
+    by O(k log n) bytes regardless of the value domain.  Final: per-key
+    sketch merge + quantile reads."""
+
+    def local_sketch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in b.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            sk = KLLSketch(k)
+            sk.update_batch(sub[val_col].to_numpy(dtype=np.float64))
+            row = dict(zip(keys, kv))
+            row["__kll"] = sk.to_bytes()
+            row["__n"] = np.int64(sk.n)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    partial = ds.map_batches(local_sketch, batch_format="pandas",
+                             batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            sk = KLLSketch(k)
+            for raw in sub["__kll"]:
+                sk.merge(KLLSketch.from_bytes(raw))
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            row = dict(zip(keys, kv))
+            for q, name in zip(qs, out_names):
+                row[name] = sk.quantile(q)
+            if count_as:
+                row[count_as] = int(sub["__n"].sum())
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return bucketed_groupby(partial, keys, final, num_buckets)
+
+
+# ---------------------------------------------------------------------------
 # frequent items (heavy hitters): sketch candidates + exact recount
 # ---------------------------------------------------------------------------
 
