@@ -45,16 +45,18 @@ BATCH_QUERIES = [
 ]
 
 
-def bench_stream_join_skewed() -> float:
+def bench_stream_join_skewed() -> dict:
     """Symmetric hash join under deliberate key skew (~20 % of rows on
-    one user): joins co-partition strictly by key (no salting — a hot
-    key's matches all need co-located state), so this records the skew
-    penalty the window path's salting avoids.  Returns seconds."""
+    one user), unsalted vs salted (salt-one-side / broadcast-the-other
+    decomposition): records both the strict-co-partitioning skew penalty
+    and what the salted path buys back.  Returns {unsalted_s, salted_s,
+    matches} — match counts are asserted identical."""
     import numpy as np
     import pyarrow as pa
 
     from parallel_dataflow_ray.streaming import StreamEngine
-    from parallel_dataflow_ray.streaming.partitioning import epochs_from_table
+    from parallel_dataflow_ray.streaming.partitioning import (
+        detect_hot_keys, epochs_from_table)
 
     rng = np.random.default_rng(42)
     n = 40_000
@@ -68,17 +70,24 @@ def bench_stream_join_skewed() -> float:
                   "purchase_id": pa.array(ids),
                   "__stream": pa.array(side.astype(np.int8))})
     epochs = epochs_from_table(t, 4000)
-    eng = StreamEngine("join",
-                       {"key_column": "user_id", "time_bound_us": 10_000_000,
-                        "left_columns": ("click_id",),
-                        "right_columns": ("purchase_id",)},
-                       num_partitions=8, allowed_lateness_us=0,
-                       key_column="user_id")
-    t0 = time.perf_counter()
-    res = eng.run(epochs, collect=True, final_flush=True)
-    dt = time.perf_counter() - t0
-    assert sum(len(ep) for ep in res["emitted"]) > 0
-    return dt
+    kw = {"key_column": "user_id", "time_bound_us": 10_000_000,
+          "left_columns": ("click_id",), "right_columns": ("purchase_id",)}
+
+    def run(salted):
+        eng = StreamEngine("join", dict(kw), num_partitions=8,
+                           allowed_lateness_us=0, key_column="user_id",
+                           salted_keys=salted)
+        t0 = time.perf_counter()
+        res = eng.run(epochs, collect=True, final_flush=True)
+        return (time.perf_counter() - t0,
+                sum(len(ep) for ep in res["emitted"]))
+
+    hot = detect_hot_keys(t, "user_id", threshold_frac=0.1, num_partitions=8)
+    dt_plain, n_plain = run(None)
+    dt_salted, n_salted = run(hot)
+    assert n_plain == n_salted and n_plain > 0
+    return {"unsalted_s": dt_plain, "salted_s": dt_salted,
+            "matches": n_plain}
 
 
 def _consume(res) -> int:
@@ -198,9 +207,10 @@ def main() -> None:
         total += dt
         assert n >= 0
     if batch_queries:
-        dt = bench_stream_join_skewed()
-        per_query["stream_join_skewed"] = round(dt, 3)
-        total += dt
+        skew = bench_stream_join_skewed()
+        per_query["stream_join_skewed"] = round(skew["unsalted_s"], 3)
+        per_query["stream_join_skewed_salted"] = round(skew["salted_s"], 3)
+        total += skew["unsalted_s"] + skew["salted_s"]
         ctl_after = _mem_bandwidth_gbps(8, 2.0)
     per_query["stream_audio_spectral"] = stream["run_sec"]
 

@@ -27,8 +27,11 @@ metadata (refs, watermarks, partial-state envelopes for hot keys).
 Skew: ``salted_keys = {key: n_salts}`` routes a hot key's rows across
 ``n_salts`` partitions (the blog's skew finding, ``blog/blog.md:84``,
 is the motivation; semilattice merge is the correctness argument,
-``blog/blog.md:91-103``).  Salting applies to the windowed-aggregate
-operator; the symmetric join co-partitions strictly by key.
+``blog/blog.md:91-103``).  The windowed aggregate ships partial states
+to the key's owner; the symmetric join uses the salt-one-side /
+broadcast-the-other decomposition instead (``join_broadcast_side``):
+each hot-key pair meets on exactly one partition, so matches stay
+final and no merge phase exists.
 
 Scale notes: actors are long-lived (state amortized across epochs);
 shards are shipped as object refs so Ray can spill under pressure; the
@@ -58,7 +61,8 @@ END_WM = 2**62
 
 def _do_split(source, key_column: str, num_partitions: int,
               salted_keys: dict | None, columns: list | None = None,
-              combine: dict | None = None):
+              combine: dict | None = None,
+              join_broadcast_side: int | None = None):
     """Shuffle-map body: one input block (in-memory table or a parquet
     fragment descriptor — read HERE, so ingest I/O scales with the
     cluster) -> P hash shards.
@@ -87,7 +91,8 @@ def _do_split(source, key_column: str, num_partitions: int,
             return payloads[0]
         return tuple(payloads)
     shards = split_by_partition(table, key_column, num_partitions,
-                                salted_keys=salted_keys)
+                                salted_keys=salted_keys,
+                                join_broadcast_side=join_broadcast_side)
     if num_partitions == 1:
         return shards[0]
     return tuple(shards)
@@ -95,10 +100,10 @@ def _do_split(source, key_column: str, num_partitions: int,
 
 @ray.remote
 def _split_block(source, key_column, num_partitions, salted_keys,
-                 columns=None, combine=None):
+                 columns=None, combine=None, join_broadcast_side=None):
     """Stateless task variant (kept for one-shot runs)."""
     return _do_split(source, key_column, num_partitions, salted_keys,
-                     columns, combine)
+                     columns, combine, join_broadcast_side)
 
 
 @ray.remote(num_cpus=0)
@@ -113,9 +118,9 @@ class SplitWorker:
     the engine sizes it to the CPU count instead of the prefetch depth."""
 
     def split(self, source, key_column, num_partitions, salted_keys,
-              columns=None, combine=None):
+              columns=None, combine=None, join_broadcast_side=None):
         return _do_split(source, key_column, num_partitions, salted_keys,
-                         columns, combine)
+                         columns, combine, join_broadcast_side)
 
 
 @ray.remote(num_cpus=0.25)
@@ -274,7 +279,8 @@ class StreamEngine:
                  shuffle_columns: list[str] | None = None,
                  sink_durable: bool = True,
                  hot_key_config: dict | None = None,
-                 map_side_combine: bool | str = "auto"):
+                 map_side_combine: bool | str = "auto",
+                 join_broadcast_side: int = 1):
         self.op_kind = op_kind
         self.op_kwargs = op_kwargs
         self.P = num_partitions
@@ -304,9 +310,22 @@ class StreamEngine:
         self._splitters: list = []
         self._split_rr = 0
         self.salted_keys = dict(salted_keys) if salted_keys else None
-        if self.op_kind != "window" and self.salted_keys:
-            raise ValueError("salted_keys currently applies to the windowed "
-                             "aggregate; joins co-partition strictly by key")
+        if self.op_kind not in ("window", "join") and self.salted_keys:
+            raise ValueError("salted_keys applies to the windowed aggregate "
+                             "(partial-state owner merge) and the symmetric "
+                             "join (salt-one-side / broadcast-the-other)")
+        #: symmetric-join skew shape: rows of a salted key on THIS
+        #: ``__stream`` side replicate to every salt route; the other
+        #: side's rows spread across the routes, so each pair meets on
+        #: exactly one partition (no owner merge, matches stay final and
+        #: the pipelined path applies).  Pick the lighter stream as the
+        #: broadcast side.  Static per run: joins must keep the same
+        #: salted_keys across resume (state co-location is routing-
+        #: determined), which is why runtime hot-key re-salting stays
+        #: window-only.
+        self.join_broadcast_side = (int(join_broadcast_side)
+                                    if self.op_kind == "join" and
+                                    self.salted_keys else None)
         #: mid-stream heavy-hitter re-salting (the blog's skew finding,
         #: blog/blog.md:84, detected at RUNTIME instead of an epoch-0
         #: pre-scan): {"threshold_frac": f, "min_rows": n}.  Partition
@@ -462,8 +481,10 @@ class StreamEngine:
                         split_cache[ee] = self._split_epoch(
                             epochs[ee], wm_prev=wp, ts_column=ts_column)
                 per_part = split_cache.pop(e)
-                if self.salted_keys:
+                if self.salted_keys and self.op_kind == "window":
                     # two-phase path needs a barrier to route partials
+                    # (join matches are final at their salt partition —
+                    # salted joins stay on the pipelined path below)
                     drain(0)
                     self._superstep(e, per_part, wm_prev, wm_sched[e],
                                     workers, collect, per_epoch_emitted,
@@ -556,14 +577,16 @@ class StreamEngine:
                     _split_block.options(num_cpus=self.combine_task_cpus,
                                          num_returns=nr)
                     .remote(b, self.key_column, self.P, self.salted_keys,
-                            self.shuffle_columns, combine))
+                            self.shuffle_columns, combine,
+                            self.join_broadcast_side))
                 continue
             s = self._splitters[self._split_rr % len(self._splitters)]
             self._split_rr += 1
             split_refs.append(
                 s.split.options(num_returns=nr)
                 .remote(b, self.key_column, self.P, self.salted_keys,
-                        self.shuffle_columns, combine))
+                        self.shuffle_columns, combine,
+                        self.join_broadcast_side))
         for refs in split_refs:
             if self.P == 1:
                 per_part[0].append(refs)

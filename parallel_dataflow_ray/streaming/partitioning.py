@@ -34,8 +34,22 @@ def partition_ids(values, num_partitions: int) -> np.ndarray:
     return (stable_hash(values) % np.uint64(num_partitions)).astype(np.int64)
 
 
+_SALT_STRIDE = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _salt_routes(key, n: int, num_partitions: int) -> np.ndarray:
+    """The n deterministic partition routes of a salted key.  Route 0 is
+    the key's unsalted owner (``stable_hash(key) % P``)."""
+    base = stable_hash([key])[0]
+    salts = np.arange(n, dtype=np.uint64)
+    return ((base + salts * _SALT_STRIDE)
+            % np.uint64(num_partitions)).astype(np.int64)
+
+
 def split_by_partition(table: pa.Table, key_column: str, num_partitions: int,
-                       salted_keys: dict | None = None) -> list[pa.Table]:
+                       salted_keys: dict | None = None,
+                       join_broadcast_side: int | None = None
+                       ) -> list[pa.Table]:
     """One pass split of an Arrow table into P sub-tables by key hash.
 
     This is the map side of the engine's shuffle; it runs as a stateless
@@ -44,9 +58,19 @@ def split_by_partition(table: pa.Table, key_column: str, num_partitions: int,
     ``salted_keys = {key: n_salts}`` spreads a hot key's rows over
     ``n_salts`` deterministic sub-routes (salt = offset % n) so no single
     partition bears the whole key — the skew mitigation the reference
-    lacked (``blog/blog.md:84``).  The partition actor then emits PARTIAL
-    state for these keys; the owner merges (semilattice-safe).
-    """
+    lacked (``blog/blog.md:84``).  For the windowed aggregate the
+    partition actor then emits PARTIAL state for these keys; the owner
+    merges (semilattice-safe).
+
+    ``join_broadcast_side`` switches to the symmetric-join skew shape
+    (the classic partial-replication / Flow-Join decomposition): rows of
+    a hot key whose ``__stream`` equals this side are REPLICATED to all
+    ``n_salts`` routes, while the other (salt) side's rows spread across
+    the routes by offset.  Every (salt-row, broadcast-row) pair of the
+    key meets on exactly one partition — the salt row's — so the match
+    set is complete and duplicate-free with no owner merge.  Replicated
+    copies share their offset; per-partition offset dedup absorbs route
+    collisions (two salts landing on one partition)."""
     # dictionary-encode: hash each DISTINCT key once (the object-array
     # SipHash path is the contract; encoding just amortizes it over the
     # key's repeat count), then gather per row by code
@@ -59,21 +83,46 @@ def split_by_partition(table: pa.Table, key_column: str, num_partitions: int,
     uniq = enc.dictionary.to_pylist()
     upids = partition_ids(uniq, num_partitions) if uniq else np.empty(0, np.int64)
     pids = upids[codes] if len(uniq) else np.empty(0, np.int64)
+    extra_idx: list[np.ndarray] = []
+    extra_pids: list[np.ndarray] = []
     if salted_keys:
         offsets = table["offset"].to_numpy(zero_copy_only=False)
+        stream = (table["__stream"].to_numpy(zero_copy_only=False)
+                  if join_broadcast_side is not None else None)
         uniq_pos = {k: i for i, k in enumerate(uniq)}
         for k, n in salted_keys.items():
             if k not in uniq_pos:
                 continue
             mask = codes == uniq_pos[k]
-            if mask.any():
-                salt = (offsets[mask] % n).astype(np.uint64)
-                base = stable_hash([k])[0]
-                pids[mask] = ((base + salt * np.uint64(0x9E3779B97F4A7C15))
-                              % np.uint64(num_partitions)).astype(np.int64)
-    order = np.argsort(pids, kind="stable")
-    sorted_tbl = table.take(pa.array(order))
-    sorted_pids = pids[order]
+            if not mask.any():
+                continue
+            routes = _salt_routes(k, n, num_partitions)
+            if join_broadcast_side is None:
+                salt = (offsets[mask] % n).astype(np.int64)
+                pids[mask] = routes[salt]
+                continue
+            m_salt = mask & (stream != join_broadcast_side)
+            if m_salt.any():
+                salt = (offsets[m_salt] % n).astype(np.int64)
+                pids[m_salt] = routes[salt]
+            m_bc = mask & (stream == join_broadcast_side)
+            if m_bc.any():
+                bidx = np.nonzero(m_bc)[0].astype(np.int64)
+                pids[m_bc] = routes[0]
+                for s in range(1, n):
+                    extra_idx.append(bidx)
+                    extra_pids.append(np.full(bidx.size, routes[s],
+                                              dtype=np.int64))
+    if extra_idx:
+        idx_all = np.concatenate(
+            [np.arange(table.num_rows, dtype=np.int64), *extra_idx])
+        pids_all = np.concatenate([pids, *extra_pids])
+    else:
+        idx_all = np.arange(table.num_rows, dtype=np.int64)
+        pids_all = pids
+    order = np.argsort(pids_all, kind="stable")
+    sorted_tbl = table.take(pa.array(idx_all[order]))
+    sorted_pids = pids_all[order]
     bounds = np.searchsorted(sorted_pids, np.arange(num_partitions + 1))
     return [sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
             for p in range(num_partitions)]
