@@ -960,7 +960,7 @@ def stream_session_events(sf_dir: str):
     return _run_stream(eng, _event_stream_epochs(sf_dir))
 
 
-def stream_join_events(sf_dir: str):
+def stream_join_events(sf_dir: str, salted_keys: dict | None = None):
     """Stateful symmetric hash join, SQL-gated: click stream ⋈ purchase
     stream on user_id within ±30 min event time (the engine's join mode
     under the driver's DuckDB oracle; the audio⋈transcript twin is
@@ -988,7 +988,7 @@ def stream_join_events(sf_dir: str):
                         "left_columns": ("click_id",),
                         "right_columns": ("purchase_id",)},
                        num_partitions=8, allowed_lateness_us=0,
-                       key_column="user_id")
+                       key_column="user_id", salted_keys=salted_keys)
     out = _run_stream(eng, dataset_epochs(stream))
     if out.empty:
         return pd.DataFrame({c: pd.Series(dtype="int64") for c in
@@ -996,6 +996,20 @@ def stream_join_events(sf_dir: str):
                               "click_id", "purchase_id")})
     return out.astype({"ts_left": "int64", "ts_right": "int64",
                        "click_id": "int64", "purchase_id": "int64"})
+
+
+def stream_join_events_salted(sf_dir: str):
+    """The SAME symmetric join under the SAME DuckDB oracle, with the
+    two highest-frequency users force-salted across 3 routes (salt one
+    side, broadcast the other) — the driver-gated proof that the skew
+    path emits exactly the unsalted row set.  Salting is correct for
+    ANY key, so forcing the top keys exercises the path even when the
+    uniform fixture has no >15 % hot key."""
+    t = read_table(sf_dir, "events", columns=["user_id", "event_type"],
+                   filter=(pc.field("event_type").isin(["click", "purchase"]))
+                   ).to_pandas()
+    top = t["user_id"].value_counts().index[:2]
+    return stream_join_events(sf_dir, salted_keys={int(k): 3 for k in top})
 
 
 def stream_audio_energy(sf_dir: str):
@@ -1122,6 +1136,7 @@ QUERIES = {
     "stream_sliding_events": stream_sliding_events,
     "stream_session_events": stream_session_events,
     "stream_join_events": stream_join_events,
+    "stream_join_events_salted": stream_join_events_salted,
     "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -1621,6 +1636,7 @@ FROM e GROUP BY user_id
     "stream_sliding_events": _SLIDING_SQL,
     "stream_session_events": _SESSION_SQL,
     "stream_join_events": _JOIN_SQL,
+    "stream_join_events_salted": _JOIN_SQL,
     "docs_quality": _QUALITY_SQL,
     "langid_docs": _langid_sql(),
     # rows-only (non-SQL-expressible): fingerprint_docs (SipHash keyed
