@@ -24,25 +24,38 @@ def _epochs():
     return epochs_from_table(interleave_streams(clips, events), 73)
 
 
-def _engine(tmp):
+def _engine(tmp, salted_keys=None):
     return StreamEngine("join", dict(JOIN_KW), num_partitions=3,
                         allowed_lateness_us=LATENESS_US, key_column="clip_id",
                         sink_root=str(tmp / "sink"), ckpt_root=str(tmp / "ckpt"),
-                        ckpt_interval=2)
+                        ckpt_interval=2, salted_keys=salted_keys)
 
 
-def test_join_kill_resume_exactly_once(tmp_path):
+def _kill_resume(tmp_path, salted_keys=None):
     epochs = _epochs()
     oracle_rows, _ = OracleExecutor("join", dict(JOIN_KW), LATENESS_US).run(epochs)
     oracle_rows = canonical_sort(oracle_rows)
 
     kill_at = len(epochs) // 2
-    _engine(tmp_path).run(epochs, stop_after_epoch=kill_at,
-                          commit_partitions={0})  # mid-epoch crash
-    res = _engine(tmp_path).run(epochs)  # resume
+    _engine(tmp_path, salted_keys).run(epochs, stop_after_epoch=kill_at,
+                                       commit_partitions={0})  # mid-epoch crash
+    res = _engine(tmp_path, salted_keys).run(epochs)  # resume, same routing
     assert res["start_epoch"] > 0
 
     t = ExactlyOnceSink.read_all(str(tmp_path / "sink"))
     got = canonical_sort(t.to_pylist()) if t is not None else []
     assert got == oracle_rows
     assert len(got) > 0
+
+
+def test_join_kill_resume_exactly_once(tmp_path):
+    _kill_resume(tmp_path)
+
+
+def test_salted_join_kill_resume_exactly_once(tmp_path):
+    """Kill/resume with salted hot keys: routing (and hence replicated
+    broadcast state) is deterministic given the SAME salted_keys across
+    resume, so the sink still holds exactly the oracle's rows."""
+    clips = fixtures.clips_table(N, seed=42, lateness_ms=30, n_speakers=5)
+    hot = clips["clip_id"].to_pylist()[:2]  # any keys may be salted
+    _kill_resume(tmp_path, salted_keys={hot[0]: 3, hot[1]: 2})
