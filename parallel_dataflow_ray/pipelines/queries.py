@@ -1088,6 +1088,65 @@ def user_event_sequences(sf_dir: str):
     return rel.bucketed_groupby(ds, ["user_id"], per_user)
 
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_GAP_US = 86_400_000_000      # 24 h between consecutive steps
+WEEK_US = 604_800_000_000
+
+
+def funnel_events(sf_dir: str):
+    """CEP pattern match (batch): per-user signup→click→purchase funnel,
+    each step within 24 h of the previous — the running-max automaton
+    of ``stages/cep.py``, one hash-bucket shuffle on user_id, gated by
+    the shifted-window-MAX SQL twin."""
+    from ..stages import cep
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return cep.funnel_match(ds, "user_id", "ts_us", "event_id",
+                            "event_type", FUNNEL_STEPS, FUNNEL_GAP_US)
+
+
+def stream_funnel_events(sf_dir: str):
+    """CEP pattern match through the STREAMING ENGINE: the same funnel
+    automaton as a non-incremental (buffered, in-order fold) kernel over
+    tumbling 7-day windows — epochs, watermarks, partition actors and
+    offset-deduped buffers all under the driver's DuckDB oracle.  The
+    window bounds the row buffer; a pattern never spans windows (the
+    SQL twin partitions by (user_id, window) identically)."""
+    from ..stages.cep import FunnelSpec
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_ts": t["ts"].cast(pa.int64()),
+            "offset": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    stream = ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+    eng = StreamEngine("window",
+                       {"spec": FunnelSpec(FUNNEL_STEPS, FUNNEL_GAP_US),
+                        "assigner": TumblingWindows(WEEK_US)},
+                       num_partitions=8, allowed_lateness_us=0)
+    out = _run_stream(eng, dataset_epochs(stream))
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("user_id", "window_start_us", "n_funnels",
+                              "first_funnel_us")})
+    return out.astype({"n_funnels": "int64", "first_funnel_us": "int64"})
+
+
 def audio_features_q(sf_dir: str):
     """Multimodal actor-pool decode stage over the clips fixture."""
     import ray.data as rd
@@ -1137,6 +1196,8 @@ QUERIES = {
     "stream_session_events": stream_session_events,
     "stream_join_events": stream_join_events,
     "stream_join_events_salted": stream_join_events_salted,
+    "funnel_events": funnel_events,
+    "stream_funnel_events": stream_funnel_events,
     "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -1631,6 +1692,45 @@ SELECT user_id,
        string_agg(event_type, ',' ORDER BY eu, event_id) AS seq,
        COUNT(*) AS n_events
 FROM e GROUP BY user_id
+""",
+    "funnel_events": f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS eu
+           FROM events),
+a AS (SELECT *, MAX(CASE WHEN event_type='signup' THEN eu END) OVER
+        (PARTITION BY user_id ORDER BY eu, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_sig
+      FROM e),
+b AS (SELECT *, CASE WHEN event_type='click'
+                      AND eu - last_sig <= {FUNNEL_GAP_US} THEN eu END AS qc
+      FROM a),
+c AS (SELECT *, MAX(qc) OVER
+        (PARTITION BY user_id ORDER BY eu, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qc
+      FROM b)
+SELECT user_id, COUNT(*) AS n_funnels,
+       CAST(MIN(eu) AS BIGINT) AS first_funnel_us
+FROM c WHERE event_type='purchase' AND eu - last_qc <= {FUNNEL_GAP_US}
+GROUP BY user_id
+""",
+    "stream_funnel_events": f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS eu,
+                  (epoch_us(ts) // {WEEK_US}) * {WEEK_US} AS w
+           FROM events),
+a AS (SELECT *, MAX(CASE WHEN event_type='signup' THEN eu END) OVER
+        (PARTITION BY user_id, w ORDER BY eu, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_sig
+      FROM e),
+b AS (SELECT *, CASE WHEN event_type='click'
+                      AND eu - last_sig <= {FUNNEL_GAP_US} THEN eu END AS qc
+      FROM a),
+c AS (SELECT *, MAX(qc) OVER
+        (PARTITION BY user_id, w ORDER BY eu, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qc
+      FROM b)
+SELECT user_id, w AS window_start_us, COUNT(*) AS n_funnels,
+       CAST(MIN(eu) AS BIGINT) AS first_funnel_us
+FROM c WHERE event_type='purchase' AND eu - last_qc <= {FUNNEL_GAP_US}
+GROUP BY user_id, w
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
     "stream_sliding_events": _SLIDING_SQL,

@@ -1,0 +1,147 @@
+"""Complex-event-pattern (CEP) sequence matching: k-step funnels.
+
+The north-star names this engine a CEP engine; the canonical CEP
+primitive beyond windows/joins is ordered PATTERN matching — "A then B
+then C, each step within `gap` of the previous" (SQL MATCH_RECOGNIZE's
+most common shape, the product-analytics funnel).  Reference analog:
+the dataflow transfer function folding a basic block's instructions in
+program order (``impls/src/sequential.rs:28-44``) — here the "program
+order" is per-key event time and the automaton is the lattice state.
+
+Semantics (shared by the batch operator and the streaming kernel, and
+by the DuckDB oracle that gates both):
+
+- events of one key are totally ordered by ``(ts, tiebreak_id)``;
+- a row completes step ``i`` iff its type equals ``steps[i]`` and the
+  latest STRICTLY-PRIOR row that completed step ``i-1`` is within
+  ``gap_us`` (prior = earlier in the total order, ties excluded);
+- a "funnel" is a row completing the final step; steps may interleave
+  with unrelated events and one step-``i-1`` row may serve many
+  step-``i`` rows (the standard running-max funnel, expressible in SQL
+  as ``MAX(...) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+  PRECEDING)`` — which is what the oracle runs).
+
+Scale notes: the batch path is one hash-bucket shuffle on the key, and
+the per-bucket kernel is pandas ``groupby().cummax()/shift`` — C loops,
+no per-row Python, group count per bucket unbounded.  The streaming
+kernel is ``incremental = False`` (an ordered automaton cannot fold
+commutatively under out-of-order arrival), so the runtime buffers rows
+per (key, window) and folds once at window close — the same contract as
+the reverse kernel; window size bounds the buffer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..streaming.spec import StreamOpSpec
+
+#: sentinel "no prior step" timestamp: any ts (>= 0) minus NEG is
+#: ~2^62 us > any gap, and the subtraction cannot overflow int64.
+_NEG = -(1 << 62)
+
+
+def funnel_scan(ts_us: np.ndarray, etype: np.ndarray,
+                steps: tuple[str, ...], gap_us: int) -> np.ndarray:
+    """Single-key automaton over rows ALREADY in total order.  Returns
+    the boolean mask of rows that complete the final step."""
+    qual = np.where(etype == steps[0], ts_us, _NEG)
+    for s in steps[1:]:
+        run = np.maximum.accumulate(qual)
+        prior = np.empty_like(run)
+        prior[0] = _NEG
+        prior[1:] = run[:-1]
+        ok = (etype == s) & (ts_us - prior <= gap_us)
+        qual = np.where(ok, ts_us, _NEG)
+    return qual > _NEG
+
+
+def funnel_frame(g: pd.DataFrame, key: str, ts_col: str, id_col: str,
+                 type_col: str, steps: tuple[str, ...], gap_us: int
+                 ) -> pd.DataFrame:
+    """Many-key vectorized funnel over one bucket: the same automaton as
+    :func:`funnel_scan`, with the running max RESET per key via grouped
+    ``cummax`` + grouped ``shift`` (both C kernels — no per-key Python
+    loop, so a bucket with millions of keys costs one pass)."""
+    g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+    uid = g[key].to_numpy()
+    ts = g[ts_col].to_numpy()
+    et = g[type_col].to_numpy()
+    qual = np.where(et == steps[0], ts, _NEG)
+    for s in steps[1:]:
+        ser = pd.Series(qual)
+        grp = ser.groupby(uid, sort=False)
+        prior = grp.cummax().groupby(uid, sort=False).shift(
+            1, fill_value=_NEG).to_numpy()
+        ok = (et == s) & (ts - prior <= gap_us)
+        qual = np.where(ok, ts, _NEG)
+    done = qual > _NEG
+    d = pd.DataFrame({key: uid[done], "__ts": ts[done]})
+    out = d.groupby(key, as_index=False).agg(
+        n_funnels=("__ts", "size"), first_funnel_us=("__ts", "min"))
+    out["n_funnels"] = out["n_funnels"].astype("int64")
+    return out
+
+
+def funnel_match(ds: rd.Dataset, key: str, ts_col: str, id_col: str,
+                 type_col: str, steps: tuple[str, ...], gap_us: int,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Batch funnel: one hash-bucket shuffle on ``key`` co-locates each
+    key's events, then the vectorized per-bucket automaton.  Emits one
+    row per key with >= 1 completed funnel: (key, n_funnels,
+    first_funnel_us)."""
+    from .relational import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return funnel_frame(g, key, ts_col, id_col, type_col, steps, gap_us)
+
+    return bucketed_groupby(ds, [key], per_bucket, num_buckets=num_buckets)
+
+
+class FunnelSpec(StreamOpSpec):
+    """Streaming funnel kernel: per (key, window) pattern automaton.
+
+    ``incremental = False`` — the engine buffers rows (offset-keyed, so
+    at-least-once re-delivery dedupes) and calls :meth:`update` exactly
+    once per closed window with the rows in ``(event_ts, offset)``
+    order; that total order is what makes the automaton deterministic
+    and replay-safe, mirroring the reference's in-order transfer fold
+    (``impls/src/sequential.rs:28-44``).  A pattern cannot span
+    windows (each window folds independently — the documented CEP
+    windowing semantics, same as the SQL oracle's PARTITION BY
+    (key, window))."""
+
+    name = "funnel"
+    incremental = False
+    order = "forward"
+
+    def __init__(self, steps: tuple[str, ...], gap_us: int,
+                 key_column: str = "user_id", type_column: str = "event_type"):
+        self.steps = tuple(steps)
+        self.gap_us = int(gap_us)
+        self.key_column = key_column
+        self.type_column = type_column
+        self.value_columns = (type_column,)
+
+    def initial_state(self):
+        return {}
+
+    def merge(self, a, b):  # offset->row buffer union (salted partials)
+        a.update(b)
+        return a
+
+    def update(self, state, rows: list[dict]):
+        ts = np.fromiter((r["event_ts"] for r in rows), dtype=np.int64,
+                         count=len(rows))
+        et = np.array([r[self.type_column] for r in rows], dtype=object)
+        done = funnel_scan(ts, et, self.steps, self.gap_us)
+        n = int(done.sum())
+        return {"n": n, "first": int(ts[done].min()) if n else None}
+
+    def finish(self, key, window, state):
+        if not state or not state.get("n"):
+            return None  # buffered state never folded (empty) or no match
+        return {self.key_column: key, "window_start_us": int(window[0]),
+                "n_funnels": state["n"], "first_funnel_us": state["first"]}

@@ -1,0 +1,145 @@
+"""CEP funnel semantics + engine differential (stages/cep.py).
+
+The automaton's contract: strictly-prior running-max step chaining over
+the (ts, id) total order — verified on hand-built sequences, then the
+many-key vectorized kernel against the single-key scan, then the
+streaming kernel (buffered, in-order fold) against the sequential
+oracle under in-order AND out-of-order delivery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from parallel_dataflow_ray.stages.cep import FunnelSpec, funnel_frame, funnel_scan
+from parallel_dataflow_ray.streaming import (
+    OracleExecutor, StreamEngine, TumblingWindows,
+)
+from parallel_dataflow_ray.streaming.partitioning import epochs_from_table
+
+STEPS = ("a", "b", "c")
+
+
+def _mask(types, ts=None, gap=10):
+    et = np.array(types, dtype=object)
+    t = np.arange(len(types), dtype=np.int64) if ts is None \
+        else np.asarray(ts, dtype=np.int64)
+    return funnel_scan(t, et, STEPS, gap).tolist()
+
+
+def test_basic_chain():
+    assert _mask(["a", "b", "c"]) == [False, False, True]
+
+
+def test_interleaved_noise():
+    assert _mask(["a", "x", "b", "y", "c"]) == [False] * 4 + [True]
+
+
+def test_step_reuse_one_a_many_chains():
+    # one 'a' can serve many 'b's; each qualified 'b' can serve 'c's
+    assert _mask(["a", "b", "b", "c", "c"]) == \
+        [False, False, False, True, True]
+
+
+def test_gap_expiry():
+    # b arrives 11 ticks after a (gap 10) -> chain broken
+    assert _mask(["a", "b", "c"], ts=[0, 11, 12]) == [False, False, False]
+
+
+def test_order_matters():
+    assert _mask(["c", "b", "a"]) == [False, False, False]
+    assert _mask(["b", "a", "c"]) == [False, False, False]
+
+
+def test_strictly_prior_tie_excluded():
+    # b at the SAME ts as a: 'prior' means earlier in (ts, id) order, so
+    # the tie (same ts, later id) still counts as prior -> chain holds;
+    # but a c BEFORE its b in id order at equal ts must not match.
+    et = np.array(["a", "b", "c"], dtype=object)
+    ts = np.array([5, 5, 5], dtype=np.int64)
+    assert funnel_scan(ts, et, STEPS, 10).tolist() == [False, False, True]
+    et2 = np.array(["a", "c", "b"], dtype=object)
+    assert funnel_scan(ts, et2, STEPS, 10).tolist() == [False, False, False]
+
+
+def _rand_events(n=3000, n_users=37, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, n_users, n),
+        "ts_us": rng.integers(0, 500, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(list("abcxy"), n).astype(object),
+    })
+
+
+def test_funnel_frame_matches_per_key_scan():
+    g = _rand_events()
+    got = funnel_frame(g, "user_id", "ts_us", "event_id", "event_type",
+                       STEPS, gap_us=25).sort_values("user_id",
+                                                     ignore_index=True)
+    rows = []
+    for uid, sub in g.groupby("user_id"):
+        sub = sub.sort_values(["ts_us", "event_id"], kind="mergesort")
+        done = funnel_scan(sub["ts_us"].to_numpy(),
+                           sub["event_type"].to_numpy(), STEPS, 25)
+        if done.any():
+            hit = sub["ts_us"].to_numpy()[done]
+            rows.append({"user_id": uid, "n_funnels": int(done.sum()),
+                         "first_funnel_us": int(hit.min())})
+    want = pd.DataFrame(rows).astype({"n_funnels": "int64"})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    assert len(want) > 0
+
+
+def _event_table(ooo: bool, n=1200, seed=3) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 40_000_000, n).astype(np.int64))
+    tbl = pd.DataFrame({
+        "user_id": rng.integers(0, 11, n),
+        "event_ts": ts,
+        "offset": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(list("abcxy"), n).astype(object),
+    })
+    if ooo:  # scramble arrival order; event times unchanged
+        tbl = tbl.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    return pa.Table.from_pandas(tbl, preserve_index=False)
+
+
+@pytest.mark.parametrize("ooo", [False, True], ids=["inorder", "ooo"])
+def test_stream_funnel_differential(ooo):
+    """Engine (P=4, buffered non-incremental fold) == sequential oracle,
+    under in-order and out-of-order delivery — the order-dependent
+    automaton must be deterministic because the buffer folds in
+    (event_ts, offset) order at window close."""
+    spec = FunnelSpec(STEPS, gap_us=2_000_000, key_column="user_id")
+    kw = {"spec": spec, "assigner": TumblingWindows(10_000_000)}
+    epochs = epochs_from_table(_event_table(ooo), 131)
+    lateness = 60_000_000  # nothing late even fully scrambled
+    oracle_rows, om = OracleExecutor("window", dict(kw), lateness).run(
+        epochs, final_flush=True)
+    eng = StreamEngine("window", dict(kw), num_partitions=4,
+                       allowed_lateness_us=lateness)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    engine_rows = [r for ep in res["emitted"] for r in ep]
+    key = lambda r: (r["user_id"], r["window_start_us"])
+    assert sorted(engine_rows, key=key) == sorted(oracle_rows, key=key)
+    assert len(oracle_rows) > 0
+
+
+def test_stream_funnel_inorder_equals_ooo():
+    out = {}
+    for ooo in (False, True):
+        spec = FunnelSpec(STEPS, gap_us=2_000_000, key_column="user_id")
+        eng = StreamEngine("window",
+                           {"spec": spec,
+                            "assigner": TumblingWindows(10_000_000)},
+                           num_partitions=4, allowed_lateness_us=60_000_000)
+        res = eng.run(epochs_from_table(_event_table(ooo), 131),
+                      collect=True, final_flush=True)
+        rows = [r for ep in res["emitted"] for r in ep]
+        out[ooo] = sorted(rows, key=lambda r: (r["user_id"],
+                                               r["window_start_us"]))
+    assert out[False] == out[True]
