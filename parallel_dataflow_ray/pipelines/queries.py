@@ -1147,6 +1147,42 @@ def stream_funnel_events(sf_dir: str):
     return out.astype({"n_funnels": "int64", "first_funnel_us": "int64"})
 
 
+PACK_CAPACITY = 2048
+
+
+def _docs_with_tokens(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_tokens": b["text"].fillna("").str.count(" ").astype("int64") + 1})
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def pack_token_shards(sf_dir: str):
+    """Training-sequence layout (concatenate-then-chunk): each doc's
+    global token offset in doc_id order -> (pack_id, pack_offset) at
+    2048-token packs, via the distributed two-pass prefix scan
+    (stages/packing.py).  SQL twin: shifted window SUM."""
+    from ..stages import packing
+
+    return packing.token_shards(_docs_with_tokens(sf_dir), "doc_id",
+                                "n_tokens", PACK_CAPACITY)
+
+
+def pack_docs_greedy(sf_dir: str):
+    """Whole-doc next-fit packing per 1024-doc range (docs never split;
+    ranges pack independently, so any range re-packs in isolation on a
+    resume).  The overflow recurrence is not SQL-expressible —
+    property-gated in tests/test_packing.py instead."""
+    from ..stages import packing
+
+    return packing.pack_greedy(_docs_with_tokens(sf_dir), "doc_id",
+                               "n_tokens", PACK_CAPACITY)
+
+
 def audio_features_q(sf_dir: str):
     """Multimodal actor-pool decode stage over the clips fixture."""
     import ray.data as rd
@@ -1218,7 +1254,9 @@ QUERIES = {
     "ann_self_topk": ann_self_topk,
     "quantiles_lineitem": quantiles_lineitem,
     "heavy_bigrams": heavy_bigrams,
+    "pack_token_shards": pack_token_shards,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
+    "pack_docs_greedy": pack_docs_greedy,
     "stream_audio_energy": stream_audio_energy,
     "stream_audio_spectral": stream_audio_spectral,
     "stream_dedup_clips": stream_dedup_clips,
@@ -1692,6 +1730,20 @@ SELECT user_id,
        string_agg(event_type, ',' ORDER BY eu, event_id) AS seq,
        COUNT(*) AS n_events
 FROM e GROUP BY user_id
+""",
+    "pack_token_shards": f"""
+WITH d AS (SELECT doc_id,
+                  array_length(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+o AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER
+               (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(off // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+       CAST(off % {PACK_CAPACITY} AS BIGINT) AS pack_offset
+FROM o
 """,
     "funnel_events": f"""
 WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS eu
