@@ -31,6 +31,7 @@ from typing import Any
 import numpy as np
 
 from ..functions.audio import decode_clip
+from ..stages.cep import FunnelSpec
 from .spec import TOP, StreamOpSpec
 
 
@@ -483,8 +484,22 @@ class AudioSpectral(StreamOpSpec):
                                     for v in state["mel_q"])}
 
 
+class CodecFunnel(FunnelSpec):
+    """CEP pattern kernel on the clip stream: per speaker, a ``pcm16``
+    clip followed by a ``ulaw`` clip within 300 ms (a codec-switch
+    detector).  Registering it in KERNELS puts the buffered in-order
+    automaton under the full differential matrix — in-order/ooo oracle
+    parity, every partition count, kill/resume — for free."""
+
+    name = "codec_funnel"
+
+    def __init__(self):
+        super().__init__(("pcm16", "ulaw"), gap_us=300_000,
+                         key_column="speaker_id", type_column="codec")
+
+
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
-     CommonWords, ClipStats, AudioEnergy, AudioSpectral)
+     CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel)
 }
