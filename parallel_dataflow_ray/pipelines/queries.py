@@ -1147,6 +1147,26 @@ def stream_funnel_events(sf_dir: str):
     return out.astype({"n_funnels": "int64", "first_funnel_us": "int64"})
 
 
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing >= 1 word-trigram with the held-out eval split
+    (doc_id % 20 == 0), with distinct-shared-shingle counts — the
+    contamination scrub an LLM data pipeline runs before training.
+    SQL twin: shingle CTE + semi join + COUNT."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mod = np.asarray(t["doc_id"]) % 20
+            m = pa.array(mod == 0 if is_bench else mod != 0)
+            return t.filter(m)
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    return dd.contamination(train, bench, shingle_k=3)
+
+
 PACK_CAPACITY = 2048
 
 
@@ -1255,6 +1275,7 @@ QUERIES = {
     "quantiles_lineitem": quantiles_lineitem,
     "heavy_bigrams": heavy_bigrams,
     "pack_token_shards": pack_token_shards,
+    "decontaminate_docs": decontaminate_docs,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
     "stream_audio_energy": stream_audio_energy,
@@ -1730,6 +1751,21 @@ SELECT user_id,
        string_agg(event_type, ',' ORDER BY eu, event_id) AS seq,
        COUNT(*) AS n_events
 FROM e GROUP BY user_id
+""",
+    "decontaminate_docs": r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 0)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_shared
+FROM train t JOIN bench b USING (g)
+GROUP BY t.doc_id
 """,
     "pack_token_shards": f"""
 WITH d AS (SELECT doc_id,

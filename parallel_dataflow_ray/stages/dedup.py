@@ -536,6 +536,40 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold_milli: int = 500,
                             num_buckets=num_buckets)
 
 
+def contamination(train: rd.Dataset, bench: rd.Dataset, *,
+                  shingle_k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", num_buckets: int = 64
+                  ) -> rd.Dataset:
+    """Benchmark decontamination: flag every training doc sharing >= 1
+    word-``k``-gram with ANY benchmark/eval doc, with the count of
+    distinct shared shingles — the pre-training contamination scrub.
+
+    Shape: explode both sides to per-doc DISTINCT shingle hashes (one
+    vectorized SipHash pass, same kernel as the Jaccard join), then a
+    bucketed SEMI join of train shingles against the bench shingle set —
+    only the bench side's distinct hash column crosses the shuffle, so a
+    tiny eval suite probing a 100 TB corpus ships keys, not text — and a
+    map-side-combined grouped count per doc (sets are per-doc distinct,
+    so surviving row count == distinct shared shingles).  Output:
+    (doc_id, n_shared)."""
+    from .relational import bucket_join, grouped_sum
+
+    def shingles(ds: rd.Dataset) -> rd.Dataset:
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _ngram_explode_fn(text_col, id_col, shingle_k),
+            batch_format="pandas", batch_size=1024)
+
+    hits = bucket_join(shingles(train), shingles(bench), on="__g",
+                       how="semi", num_buckets=num_buckets)
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b[id_col],
+                             "n_shared": np.ones(len(b), dtype=np.int64)})
+
+    return grouped_sum(hits.map_batches(ones, batch_format="pandas"),
+                       [id_col], ["n_shared"])
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
