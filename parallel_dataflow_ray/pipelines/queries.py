@@ -1147,6 +1147,22 @@ def stream_funnel_events(sf_dir: str):
     return out.astype({"n_funnels": "int64", "first_funnel_us": "int64"})
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table (full
+    Lloyd rounds, quantized order-independent partial sums), then a
+    shuffle-free assignment pass; per-cluster sizes.  Rows-only (the
+    iterative fit has no SQL twin); bit-exactness vs a driver-local
+    twin and partition invariance are pytest-gated
+    (tests/test_kmeans.py)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C, _ = sim.kmeans_fit(ds, n_clusters=8, iters=4, seed=7)
+    labeled = sim.kmeans_assign(ds, C)
+    return rel.grouped_sum(
+        labeled.map_batches(lambda b: b.assign(n_vectors=np.int64(1)),
+                            batch_format="pandas"),
+        ["cluster"], ["n_vectors"])
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: training docs (doc_id % 20 != 0)
     sharing >= 1 word-trigram with the held-out eval split
@@ -1278,6 +1294,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
+    "kmeans_embeddings": kmeans_embeddings,
     "stream_audio_energy": stream_audio_energy,
     "stream_audio_spectral": stream_audio_spectral,
     "stream_dedup_clips": stream_dedup_clips,

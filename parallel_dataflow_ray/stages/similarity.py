@@ -265,3 +265,107 @@ def self_join_topk(ds: rd.Dataset, k: int, *, id_col: str = "vec_id",
         return g[["query_id", "rank", "neighbor_id", "cos_milli"]]
 
     return bucketed_groupby(cand, ["query_id"], merge)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd rounds)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(ds: rd.Dataset, n_clusters: int = 8, *, iters: int = 5,
+               seed: int = 7, vec_col: str = "embedding",
+               id_col: str = "vec_id", q_bits: int = 20):
+    """Spherical k-means over the FULL dataset (not a sample): per round,
+    centroids are broadcast once (``ray.put``), every batch assigns its
+    vectors (one matmul) and emits ONE partial row per touched cluster —
+    quantized int64 component sums + count + quantized inertia — so the
+    per-round shuffle is O(n_clusters x batches) rows and the driver
+    only ever sees n_clusters merged rows.
+
+    Quantization (``round(x * 2^q_bits)`` before summing) makes the
+    reduction ORDER-INDEPENDENT: any partitioning yields bit-identical
+    centroids, so the distributed fit equals a driver-local twin exactly
+    (tested) — the same replay/partition-invariance discipline the
+    streaming sums use.  Init: deterministic hash-priority reservoir
+    sample.  Returns (centroids ndarray, history DataFrame with one row
+    per round: inertia_q sums of (2^q_bits - round(cos * 2^q_bits)))."""
+    from .relational import grouped_sum
+    from .sampling import reservoir_sample
+
+    Q = np.int64(1) << q_bits
+    init = reservoir_sample(ds, n_clusters, id_col=id_col, seed=seed
+                            ).to_pandas().sort_values(id_col)
+    C = _stack(init, vec_col)
+    dim = C.shape[1]
+    scols = [f"s{j}" for j in range(dim)]
+    hist = []
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        class Partials:
+            """Instance-as-UDF: ships the ObjectRef, reads the round's
+            centroids once per task from the local object store."""
+
+            def __init__(self):
+                self.C: np.ndarray | None = None
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if self.C is None:
+                    self.C = ray.get(cref)
+                X = _stack(batch, vec_col)
+                cos = X @ self.C.T
+                a = np.argmax(cos, axis=1)
+                best_q = np.rint(cos[np.arange(len(a)), a] * Q).astype(np.int64)
+                Xq = np.rint(X * Q).astype(np.int64)
+                k = self.C.shape[0]
+                sums = np.zeros((k, X.shape[1]), dtype=np.int64)
+                np.add.at(sums, a, Xq)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                inertia = np.zeros(k, dtype=np.int64)
+                np.add.at(inertia, a, Q - best_q)
+                touched = cnt > 0
+                out = pd.DataFrame(sums[touched], columns=scols)
+                out.insert(0, "cluster", np.nonzero(touched)[0].astype(np.int64))
+                out["n_vectors"] = cnt[touched]
+                out["inertia_q"] = inertia[touched]
+                return out
+
+        agg = grouped_sum(ds.map_batches(Partials(), batch_format="pandas",
+                                         batch_size=8192),
+                          ["cluster"], scols + ["n_vectors", "inertia_q"],
+                          num_buckets=8).to_pandas().sort_values("cluster")
+        hist.append({"inertia_q": int(agg["inertia_q"].sum()),
+                     "n_vectors": int(agg["n_vectors"].sum())})
+        newC = C.copy()
+        # ascontiguousarray: pandas hands back a column-major block; the
+        # norm's row reduction order (and thus the last ulp) must match
+        # the C-ordered local twin for bit-exact determinism
+        m = np.ascontiguousarray(
+            agg[scols].to_numpy(dtype=np.float64)) / float(Q)
+        cnt = agg["n_vectors"].to_numpy(dtype=np.float64)[:, None]
+        mean = m / cnt
+        mean /= np.maximum(np.linalg.norm(mean, axis=1, keepdims=True), 1e-12)
+        newC[agg["cluster"].to_numpy()] = mean
+        C = newC
+    return C, pd.DataFrame(hist)
+
+
+def kmeans_assign(ds: rd.Dataset, centroids: np.ndarray, *,
+                  vec_col: str = "embedding", id_col: str = "vec_id"
+                  ) -> rd.Dataset:
+    """Label every vector with its nearest (cosine) centroid — one
+    broadcast, one matmul per batch, no shuffle."""
+    cref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.C: np.ndarray | None = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.C is None:
+                self.C = ray.get(cref)
+            X = _stack(batch, vec_col)
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "cluster": np.argmax(X @ self.C.T, axis=1).astype(np.int64)})
+
+    return ds.map_batches(Assign(), batch_format="pandas", batch_size=8192)
