@@ -1242,7 +1242,6 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_high_value": filter_high_value,
     "q3_top_orders": q3_top_orders,
-    "union_orders": union_orders,
     "asof_signup_before_error": asof_signup_before_error,
     "semi_join_customers": semi_join_customers,
     "anti_join_customers": anti_join_customers,
@@ -1274,8 +1273,6 @@ QUERIES = {
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
     "lang_count": lang_count,
-    "sample_docs": sample_docs,
-    "reservoir_docs": reservoir_docs,
     "stratified_docs": stratified_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "curate_docs": curate_docs,
@@ -1292,6 +1289,12 @@ QUERIES = {
     "heavy_bigrams": heavy_bigrams,
     "pack_token_shards": pack_token_shards,
     "decontaminate_docs": decontaminate_docs,
+    # last three oracle-gated: single-table filters already driver-green
+    # in rounds 1-2 — if the driver's sweep caps at 50 entries again,
+    # these are the rows it can most afford to re-skip
+    "union_orders": union_orders,
+    "sample_docs": sample_docs,
+    "reservoir_docs": reservoir_docs,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
     "kmeans_embeddings": kmeans_embeddings,
