@@ -42,7 +42,8 @@ BATCH_QUERIES = [
     "knn_topk", "ann_self_topk", "quantiles_lineitem",
     "approx_distinct_users", "heavy_bigrams", "stream_tumbling_events",
     "stream_join_events", "approx_quantiles_events",
-    "funnel_events", "stream_funnel_events", "pack_token_shards",
+    "funnel_events", "funnel_no_error_events", "stream_funnel_events",
+    "pack_token_shards",
     "decontaminate_docs", "kmeans_embeddings",
 ]
 

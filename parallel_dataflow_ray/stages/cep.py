@@ -43,39 +43,64 @@ from ..streaming.spec import StreamOpSpec
 _NEG = -(1 << 62)
 
 
+def _shifted_cummax(x: np.ndarray) -> np.ndarray:
+    run = np.maximum.accumulate(x)
+    prior = np.empty_like(run)
+    prior[0] = _NEG
+    prior[1:] = run[:-1]
+    return prior
+
+
 def funnel_scan(ts_us: np.ndarray, etype: np.ndarray,
-                steps: tuple[str, ...], gap_us: int) -> np.ndarray:
+                steps: tuple[str, ...], gap_us: int,
+                reset: str | None = None) -> np.ndarray:
     """Single-key automaton over rows ALREADY in total order.  Returns
-    the boolean mask of rows that complete the final step."""
+    the boolean mask of rows that complete the final step.
+
+    ``reset`` adds NEGATION (the other MATCH_RECOGNIZE half): a row of
+    the reset type invalidates every step completion strictly before it
+    — a transition only fires from a step-(i-1) row at-or-after the
+    latest strictly-prior reset, so a matched pattern never spans a
+    reset event."""
     qual = np.where(etype == steps[0], ts_us, _NEG)
+    rst = (_shifted_cummax(np.where(etype == reset, ts_us, _NEG))
+           if reset is not None else None)
     for s in steps[1:]:
-        run = np.maximum.accumulate(qual)
-        prior = np.empty_like(run)
-        prior[0] = _NEG
-        prior[1:] = run[:-1]
+        prior = _shifted_cummax(qual)
         ok = (etype == s) & (ts_us - prior <= gap_us)
+        if rst is not None:
+            ok &= prior >= rst
         qual = np.where(ok, ts_us, _NEG)
     return qual > _NEG
 
 
 def funnel_frame(g: pd.DataFrame, key: str, ts_col: str, id_col: str,
-                 type_col: str, steps: tuple[str, ...], gap_us: int
-                 ) -> pd.DataFrame:
+                 type_col: str, steps: tuple[str, ...], gap_us: int,
+                 reset: str | None = None) -> pd.DataFrame:
     """Many-key vectorized funnel over one bucket: the same automaton as
-    :func:`funnel_scan`, with the running max RESET per key via grouped
-    ``cummax`` + grouped ``shift`` (both C kernels — no per-key Python
-    loop, so a bucket with millions of keys costs one pass)."""
+    :func:`funnel_scan` (incl. the ``reset`` negation), with the running
+    max restarted per key via grouped ``cummax`` + grouped ``shift``
+    (both C kernels — no per-key Python loop, so a bucket with millions
+    of keys costs one pass)."""
     g = g.sort_values([key, ts_col, id_col], kind="mergesort")
     uid = g[key].to_numpy()
     ts = g[ts_col].to_numpy()
     et = g[type_col].to_numpy()
+
+    def shifted_grouped_cummax(x: np.ndarray) -> np.ndarray:
+        ser = pd.Series(x)
+        return (ser.groupby(uid, sort=False).cummax()
+                .groupby(uid, sort=False).shift(1, fill_value=_NEG)
+                .to_numpy())
+
     qual = np.where(et == steps[0], ts, _NEG)
+    rst = (shifted_grouped_cummax(np.where(et == reset, ts, _NEG))
+           if reset is not None else None)
     for s in steps[1:]:
-        ser = pd.Series(qual)
-        grp = ser.groupby(uid, sort=False)
-        prior = grp.cummax().groupby(uid, sort=False).shift(
-            1, fill_value=_NEG).to_numpy()
+        prior = shifted_grouped_cummax(qual)
         ok = (et == s) & (ts - prior <= gap_us)
+        if rst is not None:
+            ok &= prior >= rst
         qual = np.where(ok, ts, _NEG)
     done = qual > _NEG
     d = pd.DataFrame({key: uid[done], "__ts": ts[done]})
@@ -87,7 +112,8 @@ def funnel_frame(g: pd.DataFrame, key: str, ts_col: str, id_col: str,
 
 def funnel_match(ds: rd.Dataset, key: str, ts_col: str, id_col: str,
                  type_col: str, steps: tuple[str, ...], gap_us: int,
-                 num_buckets: int = 64) -> rd.Dataset:
+                 num_buckets: int = 64, reset: str | None = None
+                 ) -> rd.Dataset:
     """Batch funnel: one hash-bucket shuffle on ``key`` co-locates each
     key's events, then the vectorized per-bucket automaton.  Emits one
     row per key with >= 1 completed funnel: (key, n_funnels,
@@ -95,7 +121,8 @@ def funnel_match(ds: rd.Dataset, key: str, ts_col: str, id_col: str,
     from .relational import bucketed_groupby
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return funnel_frame(g, key, ts_col, id_col, type_col, steps, gap_us)
+        return funnel_frame(g, key, ts_col, id_col, type_col, steps,
+                            gap_us, reset=reset)
 
     return bucketed_groupby(ds, [key], per_bucket, num_buckets=num_buckets)
 
@@ -118,11 +145,13 @@ class FunnelSpec(StreamOpSpec):
     order = "forward"
 
     def __init__(self, steps: tuple[str, ...], gap_us: int,
-                 key_column: str = "user_id", type_column: str = "event_type"):
+                 key_column: str = "user_id", type_column: str = "event_type",
+                 reset: str | None = None):
         self.steps = tuple(steps)
         self.gap_us = int(gap_us)
         self.key_column = key_column
         self.type_column = type_column
+        self.reset = reset
         self.value_columns = (type_column,)
 
     def initial_state(self):
@@ -136,7 +165,8 @@ class FunnelSpec(StreamOpSpec):
         ts = np.fromiter((r["event_ts"] for r in rows), dtype=np.int64,
                          count=len(rows))
         et = np.array([r[self.type_column] for r in rows], dtype=object)
-        done = funnel_scan(ts, et, self.steps, self.gap_us)
+        done = funnel_scan(ts, et, self.steps, self.gap_us,
+                           reset=self.reset)
         n = int(done.sum())
         return {"n": n, "first": int(ts[done].min()) if n else None}
 

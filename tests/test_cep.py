@@ -65,6 +65,61 @@ def test_strictly_prior_tie_excluded():
     assert funnel_scan(ts, et2, STEPS, 10).tolist() == [False, False, False]
 
 
+def test_reset_negation_blocks_chain():
+    et = np.array(["a", "r", "b", "c"], dtype=object)
+    ts = np.arange(4, dtype=np.int64)
+    # r between a and b kills the a->b transition
+    assert funnel_scan(ts, et, STEPS, 10, reset="r").tolist() == [False] * 4
+    # without negation the same sequence matches
+    assert funnel_scan(ts, et, STEPS, 10).tolist() == [False, False, False,
+                                                       True]
+
+
+def test_reset_between_b_and_c_blocks_final_step():
+    et = np.array(["a", "b", "r", "c"], dtype=object)
+    ts = np.arange(4, dtype=np.int64)
+    assert funnel_scan(ts, et, STEPS, 10, reset="r").tolist() == [False] * 4
+
+
+def test_reset_before_pattern_is_harmless():
+    et = np.array(["r", "a", "b", "c"], dtype=object)
+    ts = np.arange(4, dtype=np.int64)
+    assert funnel_scan(ts, et, STEPS, 10, reset="r").tolist() == \
+        [False, False, False, True]
+
+
+def test_reset_then_fresh_chain_matches():
+    et = np.array(["a", "b", "r", "a", "b", "c"], dtype=object)
+    ts = np.arange(6, dtype=np.int64)
+    assert funnel_scan(ts, et, STEPS, 10, reset="r").tolist() == \
+        [False] * 5 + [True]
+
+
+def test_frame_reset_matches_scan():
+    g = _rand_events(n=4000, seed=13)
+    # make 'x' the reset type
+    got = funnel_frame(g, "user_id", "ts_us", "event_id", "event_type",
+                       STEPS, gap_us=25, reset="x")
+    rows = []
+    for uid, sub in g.groupby("user_id"):
+        sub = sub.sort_values(["ts_us", "event_id"], kind="mergesort")
+        done = funnel_scan(sub["ts_us"].to_numpy(),
+                           sub["event_type"].to_numpy(), STEPS, 25,
+                           reset="x")
+        if done.any():
+            hit = sub["ts_us"].to_numpy()[done]
+            rows.append({"user_id": uid, "n_funnels": int(done.sum()),
+                         "first_funnel_us": int(hit.min())})
+    want = pd.DataFrame(rows).astype({"n_funnels": "int64"})
+    pd.testing.assert_frame_equal(
+        got.sort_values("user_id", ignore_index=True),
+        want.reset_index(drop=True))
+    # negation must actually bite on this fixture
+    plain = funnel_frame(g, "user_id", "ts_us", "event_id", "event_type",
+                         STEPS, gap_us=25)
+    assert want["n_funnels"].sum() < plain["n_funnels"].sum()
+
+
 def _rand_events(n=3000, n_users=37, seed=7):
     rng = np.random.default_rng(seed)
     return pd.DataFrame({
