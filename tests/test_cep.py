@@ -14,7 +14,9 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from parallel_dataflow_ray.stages.cep import FunnelSpec, funnel_frame, funnel_scan
+from parallel_dataflow_ray.stages.cep import (
+    FunnelSpec, KleeneSpec, funnel_frame, funnel_scan, kleene_frame,
+)
 from parallel_dataflow_ray.streaming import (
     OracleExecutor, StreamEngine, TumblingWindows,
 )
@@ -198,3 +200,124 @@ def test_stream_funnel_inorder_equals_ooo():
         out[ooo] = sorted(rows, key=lambda r: (r["user_id"],
                                                r["window_start_us"]))
     assert out[False] == out[True]
+
+
+# ---------------------------------------------------------------- kleene
+
+
+def _kframe(types, ts=None, gap=10, uid=None):
+    n = len(types)
+    g = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64) if uid is None
+        else np.asarray(uid, np.int64),
+        "ts_us": np.arange(n, dtype=np.int64) if ts is None
+        else np.asarray(ts, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": np.array(types, dtype=object),
+    })
+    return kleene_frame(g, "user_id", "ts_us", "event_id", "event_type",
+                        "a", "b", "c", gap)
+
+
+def test_kleene_single_mid():
+    out = _kframe(["a", "b", "c"])
+    assert out.to_dict("records") == [
+        {"user_id": 0, "n_matches": 1, "n_mid": 1, "first_match_us": 2}]
+
+
+def test_kleene_multi_mid_run():
+    out = _kframe(["a", "b", "b", "b", "c"])
+    assert out.to_dict("records") == [
+        {"user_id": 0, "n_matches": 1, "n_mid": 3, "first_match_us": 4}]
+
+
+def test_kleene_strict_contiguity_broken_by_noise():
+    # an intervening non-b event splits the run; neither piece is
+    # bounded by (a, c) on both sides
+    assert _kframe(["a", "b", "x", "b", "c"]).empty
+    # noise between a and the run, or between the run and c, also kills
+    assert _kframe(["a", "x", "b", "c"]).empty
+    assert _kframe(["a", "b", "x", "c"]).empty
+
+
+def test_kleene_gap_violation_anywhere_in_span():
+    # gap=10: violate a->b1, b1->b2, and b2->c in turn
+    assert _kframe(["a", "b", "b", "c"], ts=[0, 20, 21, 22]).empty
+    assert _kframe(["a", "b", "b", "c"], ts=[0, 1, 30, 31]).empty
+    assert _kframe(["a", "b", "b", "c"], ts=[0, 1, 2, 40]).empty
+    assert len(_kframe(["a", "b", "b", "c"], ts=[0, 9, 18, 27])) == 1
+
+
+def test_kleene_two_matches_one_key():
+    out = _kframe(["a", "b", "c", "a", "b", "b", "c"])
+    assert out.to_dict("records") == [
+        {"user_id": 0, "n_matches": 2, "n_mid": 3, "first_match_us": 2}]
+
+
+def test_kleene_run_not_split_across_keys():
+    # same positions, but the run's tail belongs to another key
+    out = _kframe(["a", "b", "b", "c"], uid=[0, 0, 1, 1])
+    assert out.empty
+
+
+def _kleene_bruteforce(g: pd.DataFrame, gap: int) -> pd.DataFrame:
+    rows = []
+    for uid, sub in g.groupby("user_id"):
+        sub = sub.sort_values(["ts_us", "event_id"], kind="mergesort")
+        et = sub["event_type"].to_list()
+        ts = sub["ts_us"].to_list()
+        matches = []
+        i = 0
+        while i < len(et):
+            if et[i] != "b":
+                i += 1
+                continue
+            j = i
+            while j + 1 < len(et) and et[j + 1] == "b":
+                j += 1
+            if (i > 0 and et[i - 1] == "a" and j + 1 < len(et)
+                    and et[j + 1] == "c"
+                    and all(ts[k] - ts[k - 1] <= gap
+                            for k in range(i, j + 2))):
+                matches.append((j - i + 1, ts[j + 1]))
+            i = j + 1
+        if matches:
+            rows.append({"user_id": uid,
+                         "n_matches": len(matches),
+                         "n_mid": sum(m[0] for m in matches),
+                         "first_match_us": min(m[1] for m in matches)})
+    cols = ["user_id", "n_matches", "n_mid", "first_match_us"]
+    return (pd.DataFrame(rows, columns=cols).astype("int64")
+            .sort_values("user_id", ignore_index=True))
+
+
+def test_kleene_frame_matches_bruteforce():
+    g = _rand_events(n=4000, n_users=41, seed=11)
+    got = kleene_frame(g, "user_id", "ts_us", "event_id", "event_type",
+                       "a", "b", "c", 25).sort_values(
+        "user_id", ignore_index=True)
+    want = _kleene_bruteforce(
+        g.rename(columns={}), 25)
+    pd.testing.assert_frame_equal(got, want)
+    assert want["n_matches"].sum() > 0
+    assert (want["n_mid"] > want["n_matches"]).any()  # real Kleene runs
+
+
+@pytest.mark.parametrize("ooo", [False, True], ids=["inorder", "ooo"])
+def test_stream_kleene_differential(ooo):
+    """Engine (P=4, buffered fold) == sequential oracle for the Kleene
+    run automaton, in-order and out-of-order."""
+    spec = KleeneSpec("a", "b", "c", gap_us=2_000_000,
+                      key_column="user_id")
+    kw = {"spec": spec, "assigner": TumblingWindows(10_000_000)}
+    epochs = epochs_from_table(_event_table(ooo), 131)
+    lateness = 60_000_000
+    oracle_rows, om = OracleExecutor("window", dict(kw), lateness).run(
+        epochs, final_flush=True)
+    eng = StreamEngine("window", dict(kw), num_partitions=4,
+                       allowed_lateness_us=lateness)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    engine_rows = [r for ep in res["emitted"] for r in ep]
+    key = lambda r: (r["user_id"], r["window_start_us"])
+    assert sorted(engine_rows, key=key) == sorted(oracle_rows, key=key)
+    assert len(oracle_rows) > 0

@@ -75,3 +75,9 @@ def test_salted_parity_buffered_reverse_kernel():
 
 def test_salted_parity_intersection_kernel():
     _parity("common_words")
+
+
+def test_salted_parity_kleene_kernel():
+    # buffered run automaton: salted partials are offset-keyed row
+    # buffers, the owner folds the union in (event_ts, offset) order
+    _parity("codec_kleene")
