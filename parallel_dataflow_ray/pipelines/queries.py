@@ -1230,6 +1230,41 @@ def stream_kleene_events(sf_dir: str):
                        "first_match_us": "int64"})
 
 
+def stream_topk_event_types(sf_dir: str):
+    """Grouped streaming top-k through the ENGINE: per (user, tumbling
+    day) the 2 most frequent event types, ties broken ascending by
+    type, emitted as 'type:count' strings.  The kernel's partial state
+    is the full exact count map (mergeable counter sum — the item
+    stream never shuffles, only count maps do); finish() truncates to
+    k strictly after the last merge, which keeps the result partition-
+    and fold-order-invariant, so it hash-matches the ROW_NUMBER twin."""
+    from ..streaming.kernels import TopItems
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_ts": t["ts"].cast(pa.int64()),
+            "offset": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    stream = ds.map_batches(prep, batch_format="pyarrow", batch_size=8192)
+    eng = StreamEngine("window",
+                       {"spec": TopItems(item_column="event_type", k=2,
+                                         key_column="user_id"),
+                        "assigner": TumblingWindows(86_400_000_000)},
+                       num_partitions=8, allowed_lateness_us=0)
+    out = _run_stream(eng, dataset_epochs(stream))
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "window_start_us": pd.Series(dtype="int64"),
+                             "top_items": pd.Series(dtype="object")})
+    return out.astype({"window_start_us": "int64"})
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed spherical k-means over the embeddings table (full
     Lloyd rounds, quantized order-independent partial sums), then a
@@ -1341,7 +1376,6 @@ QUERIES = {
     "running_user_totals": running_user_totals,
     "pivot_event_counts": pivot_event_counts,
     "sort_events": sort_events,
-    "session_events": session_events,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_sliding_events": stream_sliding_events,
     "stream_session_events": stream_session_events,
@@ -1352,6 +1386,7 @@ QUERIES = {
     "stream_funnel_events": stream_funnel_events,
     "kleene_funnel_events": kleene_funnel_events,
     "stream_kleene_events": stream_kleene_events,
+    "stream_topk_event_types": stream_topk_event_types,
     "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
@@ -1379,6 +1414,7 @@ QUERIES = {
     # can most afford to re-skip
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
+    "session_events": session_events,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -2005,6 +2041,21 @@ SELECT user_id, w AS window_start_us, COUNT(*) AS n_matches,
        CAST(SUM(n_b) AS BIGINT) AS n_mid,
        CAST(MIN(match_end) AS BIGINT) AS first_match_us
 FROM m GROUP BY user_id, w
+""",
+    # grouped streaming top-k: exact counts, ROW_NUMBER twin with the
+    # same (count desc, item asc) deterministic tie-break
+    "stream_topk_event_types": """
+WITH e AS (SELECT user_id,
+        (epoch_us(ts) // 86400000000) * 86400000000 AS w, event_type
+      FROM events),
+c AS (SELECT user_id, w, event_type, COUNT(*) AS n
+      FROM e GROUP BY user_id, w, event_type),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, w
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, CAST(w AS BIGINT) AS window_start_us,
+       string_agg(event_type || ':' || n, ',' ORDER BY rn) AS top_items
+FROM r WHERE rn <= 2 GROUP BY user_id, w
 """,
     "stream_tumbling_events": _TUMBLING_SQL,
     "stream_sliding_events": _SLIDING_SQL,

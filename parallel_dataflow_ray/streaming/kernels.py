@@ -498,6 +498,84 @@ class CodecFunnel(FunnelSpec):
                          key_column="speaker_id", type_column="codec")
 
 
+class TopItems(StreamOpSpec):
+    """Grouped streaming top-k: per (key, window) the k most frequent
+    items, ties broken ascending by item — the streaming twin of the
+    batch heavy-hitters / windowed-top-k stages.
+
+    The partial state is the FULL item->count map (exact): counts over
+    disjoint row sets add, so ``merge`` is a counter sum and the
+    semilattice contract holds; only :meth:`finish` truncates to k,
+    strictly after the last merge, which is what keeps the result
+    partition- and fold-order-invariant.  Scale: the state is bounded
+    by the per-(key, window) item domain, and the item stream itself
+    never shuffles — only count maps do (the same partials-only shape
+    as the batch heavy-hitters cut)."""
+
+    name = "top_items"
+    incremental = True
+
+    def __init__(self, item_column: str = "event_type", k: int = 2,
+                 key_column: str = "user_id", split: bool = False):
+        self.item_column = item_column
+        self.k = int(k)
+        self.key_column = key_column
+        self.split = split
+        self.value_columns = (item_column,)
+
+    def initial_state(self) -> dict:
+        return {}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        for w, c in b.items():
+            a[w] = a.get(w, 0) + c
+        return a
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        col = self.item_column
+        for r in rows:
+            if self.split:
+                for w in (r[col] or "").split():
+                    state[w] = state.get(w, 0) + 1
+            else:
+                state[r[col]] = state.get(r[col], 0) + 1
+        return state
+
+    def update_table(self, state: dict, t) -> dict:
+        vals = t[self.item_column].to_pylist()
+        if self.split:
+            items, counts = np.unique(
+                np.array(" ".join(v or "" for v in vals).split(),
+                         dtype=object), return_counts=True)
+        else:
+            items, counts = np.unique(np.array(vals, dtype=object),
+                                      return_counts=True)
+        for w, c in zip(items, counts):
+            state[w] = state.get(w, 0) + int(c)
+        return state
+
+    def finish(self, key, window, state: dict) -> dict | None:
+        if not state:
+            return None
+        top = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))[:self.k]
+        return {self.key_column: key, "window_start_us": int(window[0]),
+                "top_items": ",".join(f"{w}:{c}" for w, c in top)}
+
+
+class TopWords(TopItems):
+    """Registry instance of :class:`TopItems` on the clip stream: per
+    (speaker, window) the top-3 transcript words — a whitespace split
+    per row feeds the count map.  Registration sweeps the counter-sum
+    merge through the full differential matrix."""
+
+    name = "top_words"
+    key_column = "speaker_id"
+
+    def __init__(self):
+        super().__init__(item_column="transcript", k=3,
+                         key_column="speaker_id", split=True)
+
+
 class CodecKleene(KleeneSpec):
     """Kleene-plus CEP kernel on the clip stream: per speaker, a
     ``pcm16`` clip, then a maximal run of one-or-more consecutive
@@ -517,5 +595,5 @@ KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
      CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
-     CodecKleene)
+     CodecKleene, TopWords)
 }

@@ -48,7 +48,8 @@ def _run(op_kwargs, epochs, *, combine, P):
                   sum(m["late_rows"] for m in fin))
 
 
-@pytest.mark.parametrize("spec_name", ["audio_energy", "clip_stats"])
+@pytest.mark.parametrize("spec_name", ["audio_energy", "clip_stats",
+                                       "top_words"])
 @pytest.mark.parametrize("ooo", [False, True], ids=["inorder", "ooo"])
 @pytest.mark.parametrize("win", [TumblingWindows(1_000_000),
                                  SlidingWindows(3_000_000, 2_000_000)],
