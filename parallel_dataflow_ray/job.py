@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = adaptive (the MixedExecutor analog)")
     p.add_argument("--lateness-ms", type=int, default=0)
     p.add_argument("--sink", default=None)
+    p.add_argument("--late-sink", default=None,
+                   help="dead-letter root: late rows are committed here "
+                        "per epoch (exactly-once) instead of only counted")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--ckpt-interval", type=int, default=4)
     p.add_argument("--salt-hot-keys", action="store_true",
@@ -75,6 +78,7 @@ def run_job(args) -> dict:
                        num_partitions=args.partitions,
                        allowed_lateness_us=args.lateness_ms * 1000,
                        sink_root=args.sink, ckpt_root=args.ckpt,
+                       late_root=args.late_sink,
                        ckpt_interval=args.ckpt_interval, salted_keys=salted,
                        actor_num_cpus=1)
     res = eng.run(epochs, final_flush=True)

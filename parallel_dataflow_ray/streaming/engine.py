@@ -86,7 +86,8 @@ def _do_split(source, key_column: str, num_partitions: int,
 
         payloads = combine_window_block(
             table, combine["spec"], combine["assigner"],
-            combine["ts_column"], combine["wm_prev"], num_partitions)
+            combine["ts_column"], combine["wm_prev"], num_partitions,
+            capture_late=combine.get("capture_late", False))
         if num_partitions == 1:
             return payloads[0]
         return tuple(payloads)
@@ -130,7 +131,8 @@ class PartitionWorker:
     def __init__(self, partition: int, op_kind: str, op_kwargs: dict,
                  sink_root: str | None, ckpt_root: str | None,
                  partial_keys: frozenset = frozenset(),
-                 sink_durable: bool = True, track_keys: bool = False):
+                 sink_durable: bool = True, track_keys: bool = False,
+                 late_root: str | None = None):
         import time
         self._time = time
         self.partition = partition
@@ -142,6 +144,15 @@ class PartitionWorker:
         self._sink_durable = sink_durable
         self.sink = (ExactlyOnceSink(sink_root, partition, durable=sink_durable)
                      if sink_root else None)
+        #: dead-letter side output: rows the watermark already closed out
+        #: are committed per epoch to a SECOND exactly-once sink — same
+        #: epoch-idempotent protocol, so crash/replay never duplicates or
+        #: loses a late row
+        self.late_sink = (ExactlyOnceSink(late_root, partition,
+                                          durable=sink_durable)
+                          if late_root else None)
+        if self.late_sink is not None and hasattr(self.op, "capture_late"):
+            self.op.capture_late = True
         self.ckpt = CheckpointStore(ckpt_root, partition) if ckpt_root else None
         self.max_offset = -1
         self._pending: list[dict] = []
@@ -166,13 +177,19 @@ class PartitionWorker:
         self.max_offset = d["max_offset"]
         return epoch
 
-    def reset(self, sink_root: str | None, ckpt_root: str | None) -> None:
+    def reset(self, sink_root: str | None, ckpt_root: str | None,
+              late_root: str | None = None) -> None:
         """Fresh stream on the same (warm) process: rebuild operator state
         and re-point sink/checkpoint roots."""
         self.op = make_operator(self.op_kind, **self._op_kwargs)
         self.sink = (ExactlyOnceSink(sink_root, self.partition,
                                      durable=self._sink_durable)
                      if sink_root else None)
+        self.late_sink = (ExactlyOnceSink(late_root, self.partition,
+                                          durable=self._sink_durable)
+                          if late_root else None)
+        if self.late_sink is not None and hasattr(self.op, "capture_late"):
+            self.op.capture_late = True
         self.ckpt = (CheckpointStore(ckpt_root, self.partition)
                      if ckpt_root else None)
         self.max_offset = -1
@@ -248,6 +265,12 @@ class PartitionWorker:
         if self.sink is not None and commit:
             self.sink.commit(epoch, table, watermark=wm,
                              max_offset=self.max_offset, elapsed_s=elapsed)
+        if self.late_sink is not None and commit:
+            late_tbl = (self.op.take_late()
+                        if hasattr(self.op, "take_late") else None)
+            self.late_sink.commit(epoch, late_tbl, watermark=wm,
+                                  max_offset=self.max_offset,
+                                  elapsed_s=elapsed)
         if self.ckpt is not None and checkpoint and commit:
             self.ckpt.save(epoch, self.op.snapshot(), wm, self.max_offset)
         out = {"partition": self.partition, "epoch": epoch,
@@ -280,12 +303,17 @@ class StreamEngine:
                  sink_durable: bool = True,
                  hot_key_config: dict | None = None,
                  map_side_combine: bool | str = "auto",
-                 join_broadcast_side: int = 1):
+                 join_broadcast_side: int = 1,
+                 late_root: str | None = None):
         self.op_kind = op_kind
         self.op_kwargs = op_kwargs
         self.P = num_partitions
         self.lateness = allowed_lateness_us
         self.sink_root = sink_root
+        #: dead-letter root: when set, rows that arrive after their
+        #: window closed are routed (full rows, not just counts) to a
+        #: second per-partition exactly-once sink under this directory
+        self.late_root = late_root
         self.ckpt_root = ckpt_root
         self.ckpt_interval = max(1, ckpt_interval)
         self.sink_durable = sink_durable
@@ -432,7 +460,8 @@ class StreamEngine:
                 .remote(p, self.op_kind, self.op_kwargs, self.sink_root,
                         self.ckpt_root,
                         frozenset(self.salted_keys) if self.salted_keys else frozenset(),
-                        self.sink_durable, self.hot_key_config is not None)
+                        self.sink_durable, self.hot_key_config is not None,
+                        self.late_root)
                 for p in range(self.P)
             ]
             # zero-CPU actors: concurrency is bounded by the pool size, and
@@ -526,7 +555,8 @@ class StreamEngine:
             self.sink_root = new_sink_root
         if new_ckpt_root is not None:
             self.ckpt_root = new_ckpt_root
-        ray.get([w.reset.remote(self.sink_root, self.ckpt_root)
+        ray.get([w.reset.remote(self.sink_root, self.ckpt_root,
+                                self.late_root)
                  for w in self._workers])
 
     def close(self) -> None:
@@ -562,7 +592,8 @@ class StreamEngine:
         else:
             blocks = self._blocks(source)
         combine = (dict(self._combine_info, ts_column=ts_column,
-                        wm_prev=wm_prev)
+                        wm_prev=wm_prev,
+                        capture_late=self.late_root is not None)
                    if self._combine_info is not None else None)
         nr = 1 if self.P == 1 else self.P
         split_refs = []

@@ -91,7 +91,8 @@ def _window_runs(table: pa.Table, spec, assigner, ts_column: str,
 
 
 def combine_window_block(table: pa.Table, spec, assigner, ts_column: str,
-                         wm_prev: int, num_partitions: int) -> list[dict]:
+                         wm_prev: int, num_partitions: int,
+                         capture_late: bool = False) -> list[dict]:
     """Map-side combiner (shuffle-map body in combine mode): fold one
     input block's rows into per-(key, window) PARTIAL states and route
     them by key hash, so only partials — not raw rows/payload bytes —
@@ -121,6 +122,15 @@ def combine_window_block(table: pa.Table, spec, assigner, ts_column: str,
             payloads[p]["rows"] = int(rows_p[p])
             payloads[p]["late"] = int(late_p[p])
             payloads[p]["max_offset"] = int(mo[p])
+        if capture_late and late.any():
+            # dead-letter capture: ship the late ROWS (not just counts)
+            # to their owning partition for the side-output sink
+            lidx = np.nonzero(late)[0]
+            lpid = row_pid[late]
+            for p in range(num_partitions):
+                sel = lidx[lpid == p]
+                if sel.size:
+                    payloads[p]["late_tbl"] = table.take(pa.array(sel))
     for kc, w, s, e in runs:
         state = spec.update_table(spec.initial_state(),
                                   sorted_tbl.slice(s, e - s))
@@ -147,6 +157,12 @@ class WindowedAggregateOp:
         self.live: set[tuple] = set()
         self.late_rows = 0
         self.rows_seen = 0
+        #: dead-letter side output: when True (set by the worker when a
+        #: late_root is configured) late rows are BUFFERED per epoch and
+        #: drained via take_late() into an epoch-idempotent side sink
+        #: instead of only being counted
+        self.capture_late = False
+        self._late_tbls: list[pa.Table] = []
 
     def apply(self, table: pa.Table, wm_prev: int) -> None:
         if table.num_rows == 0:
@@ -162,7 +178,9 @@ class WindowedAggregateOp:
         rows = _rows_of(table)
         self.rows_seen += len(rows)
         groups: dict[tuple, list[dict]] = {}
-        for row, key, t, wins in zip(rows, key_col, ts, windows):
+        late_idx: list[int] = []
+        for i, (row, key, t, wins) in enumerate(zip(rows, key_col, ts,
+                                                    windows)):
             row["event_ts"] = int(t)  # normalize timestamps to int64 us
             accepted = False
             for w in wins:
@@ -172,6 +190,9 @@ class WindowedAggregateOp:
                 groups.setdefault((key, w), []).append(row)
             if not accepted:
                 self.late_rows += 1
+                late_idx.append(i)
+        if self.capture_late and late_idx:
+            self._late_tbls.append(table.take(pa.array(late_idx)))
         for (key, w), grp in groups.items():
             kw = (key, w)
             if kw not in self.states:
@@ -199,6 +220,8 @@ class WindowedAggregateOp:
         sorted_tbl, runs, _, kuniq, late = _window_runs(
             table, spec, self.assigner, self.ts_column, wm_prev)
         self.late_rows += int(late.sum())
+        if self.capture_late and late.any():
+            self._late_tbls.append(table.take(pa.array(np.nonzero(late)[0])))
         for kc, w, s, e in runs:
             key = kuniq[kc]
             kw = (key, w)
@@ -220,6 +243,9 @@ class WindowedAggregateOp:
 
         self.rows_seen += payload["rows"]
         self.late_rows += payload["late"]
+        lt = payload.get("late_tbl")
+        if lt is not None and self.capture_late:
+            self._late_tbls.append(lt)
         spec = self.spec
         for key, w, state in payload["partials"]:
             kw = (key, w)
@@ -290,6 +316,18 @@ class WindowedAggregateOp:
                 out.append(row)
         return out
 
+    def take_late(self) -> pa.Table | None:
+        """Drain this epoch's captured late rows (dead-letter side
+        output).  Called by the worker once per epoch, BEFORE the
+        checkpoint — the buffer is per-epoch transient, so snapshots
+        never carry it and replay re-captures deterministically."""
+        if not self._late_tbls:
+            return None
+        t = (self._late_tbls[0] if len(self._late_tbls) == 1
+             else pa.concat_tables(self._late_tbls, promote_options="default"))
+        self._late_tbls = []
+        return t
+
     # -- checkpoint --------------------------------------------------------
     def snapshot(self) -> bytes:
         return pickle.dumps(
@@ -321,6 +359,10 @@ class SessionAggregateOp:
         self.sessions: dict[Any, list[list]] = {}
         self.late_rows = 0
         self.rows_seen = 0
+        self.capture_late = False           # dead-letter side output
+        self._late_tbls: list[pa.Table] = []
+
+    take_late = WindowedAggregateOp.take_late
 
     def _mk_state(self, rows: list[dict]):
         if self.spec.incremental:
@@ -350,6 +392,8 @@ class SessionAggregateOp:
         ts = table[self.ts_column].cast(pa.int64()).to_numpy()
         late = wm_prev >= ts + self.gap_us
         self.late_rows += int(late.sum())  # its session has already closed
+        if self.capture_late and late.any():
+            self._late_tbls.append(table.take(pa.array(np.nonzero(late)[0])))
         keep = np.nonzero(~late)[0]
         if keep.size == 0:
             return

@@ -34,10 +34,13 @@ def canonical_sort(rows: list[dict]) -> list[dict]:
 class OracleExecutor:
     """Runs one operator over an epoch-framed stream, driver-local."""
 
-    def __init__(self, op_kind: str, op_kwargs: dict, allowed_lateness_us: int = 0):
+    def __init__(self, op_kind: str, op_kwargs: dict, allowed_lateness_us: int = 0,
+                 capture_late: bool = False):
         # one un-partitioned operator instance holds ALL keys' state
         self.op = make_operator(op_kind, **op_kwargs)
         self.clock = WatermarkClock(allowed_lateness_us)
+        if capture_late and hasattr(self.op, "capture_late"):
+            self.op.capture_late = True
 
     def run(self, epochs: list[pa.Table], ts_column: str = "event_ts",
             final_flush: bool = False) -> tuple[list[dict], dict]:
@@ -64,4 +67,9 @@ class OracleExecutor:
             emitted.extend(canonical_sort(self.op.on_watermark(2**62)))
         metrics = {"late_rows": self.op.late_rows, "rows_seen": self.op.rows_seen,
                    "final_watermark": self.clock.watermark}
+        if getattr(self.op, "capture_late", False):
+            # dead-letter ground truth for the engine's late side output
+            metrics["late_table"] = (self.op.take_late()
+                                     if hasattr(self.op, "take_late")
+                                     else None)
         return emitted, metrics

@@ -321,3 +321,26 @@ def test_stream_kleene_differential(ooo):
     key = lambda r: (r["user_id"], r["window_start_us"])
     assert sorted(engine_rows, key=key) == sorted(oracle_rows, key=key)
     assert len(oracle_rows) > 0
+
+
+def test_funnel_session_windows_differential():
+    """CEP over SESSION windows: the buffered funnel automaton folds
+    per merged (key, session) interval — engine == sequential oracle,
+    in-order and out-of-order (the session merge must carry the
+    offset-keyed row buffers through interval merging unchanged)."""
+    from parallel_dataflow_ray.streaming import SessionWindows
+
+    for ooo in (False, True):
+        spec = FunnelSpec(STEPS, gap_us=2_000_000, key_column="user_id")
+        kw = {"spec": spec, "assigner": SessionWindows(3_000_000)}
+        epochs = epochs_from_table(_event_table(ooo), 131)
+        lateness = 60_000_000
+        oracle_rows, om = OracleExecutor("session", dict(kw), lateness).run(
+            epochs, final_flush=True)
+        eng = StreamEngine("session", dict(kw), num_partitions=4,
+                          allowed_lateness_us=lateness)
+        res = eng.run(epochs, collect=True, final_flush=True)
+        engine_rows = [r for ep in res["emitted"] for r in ep]
+        key = lambda r: (r["user_id"], r["window_start_us"])
+        assert sorted(engine_rows, key=key) == sorted(oracle_rows, key=key)
+        assert len(oracle_rows) > 0
