@@ -44,7 +44,7 @@ BATCH_QUERIES = [
     "stream_join_events", "approx_quantiles_events",
     "funnel_events", "funnel_no_error_events", "stream_funnel_events",
     "kleene_funnel_events", "stream_kleene_events",
-    "stream_topk_event_types",
+    "stream_topk_event_types", "stream_quantile_durations",
     "pack_token_shards",
     "decontaminate_docs", "kmeans_embeddings",
 ]

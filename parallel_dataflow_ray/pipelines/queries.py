@@ -1026,6 +1026,26 @@ def stream_audio_energy(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def stream_quantile_durations(sf_dir: str):
+    """Streaming relative-error quantile sketch (rows-only): clips ->
+    epochs -> per-(speaker, window) DDSketch-shape duration quantiles
+    (p50/p95/p99 at ~1 % relative error) via the combine-mode engine.
+    Bucket counts are multiset algebra, so the emitted rows are
+    bit-identical for any partitioning / batching / fold order (the
+    streaming scale path for continuous domains next to the batch KLL
+    stage; error bound asserted in test_sketches.py)."""
+    from ..streaming.kernels import QuantileHist
+    table = clips_table(400, seed=42, lateness_ms=40, n_speakers=7)
+    epochs = epochs_from_table(table, 97)
+    eng = StreamEngine("window",
+                       {"spec": QuantileHist(),
+                        "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
 def stream_audio_spectral(sf_dir: str):
     """The bench flagship as a registry entry (rows-only): clips ->
     epochs -> windowed framed-FFT spectral features (mel bands, centroid,
@@ -1434,6 +1454,7 @@ QUERIES = {
     "ivf_topk": ivf_topk_q,
     "approx_distinct_users": approx_distinct_users,
     "approx_quantiles_events": approx_quantiles_events,
+    "stream_quantile_durations": stream_quantile_durations,
 }
 
 _TUMBLING_SQL = """

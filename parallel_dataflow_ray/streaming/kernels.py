@@ -498,6 +498,78 @@ class CodecFunnel(FunnelSpec):
                          key_column="speaker_id", type_column="codec")
 
 
+class QuantileHist(StreamOpSpec):
+    """Streaming relative-error quantile sketch per (key, window) —
+    the DDSketch shape (log-γ buckets, Masson et al., VLDB 2019):
+    value v lands in bucket ``ceil(ln v / ln γ)``, so reporting the
+    bucket's midpoint guarantees relative error ≤ (γ-1)/(γ+1) ≈ α for
+    γ = (1+α)/(1-α).
+
+    Chosen over KLL for the STREAMING kernel deliberately: KLL's
+    randomized-offset compaction depends on fold granularity, so an
+    engine folding epoch batches can never bit-match a row-at-a-time
+    oracle.  Bucket COUNTS are pure multiset algebra — commutative,
+    associative, granularity-invariant — so the sketch is bit-exact
+    under any partitioning, batching, map-side combine, salting, or
+    replay, and the strict differential matrix applies unchanged.
+    State is O(#distinct buckets) = O(log(vmax/vmin)/α) regardless of
+    row count — the scale path for continuous domains (the batch KLL
+    stage remains for driver-side mergeable artifacts)."""
+
+    name = "quantile_hist"
+    key_column = "speaker_id"
+    value_columns = ("dur_ms",)
+    #: γ for ~1 % relative error: (1+α)/(1-α), α = 0.01
+    _GAMMA = 1.01 / 0.99
+    _QS = (0.5, 0.95, 0.99)
+
+    def __init__(self):
+        self._lg = np.log(self._GAMMA)
+
+    def initial_state(self) -> dict:
+        return {}  # bucket index -> count (values are all >= 1 here)
+
+    def merge(self, a: dict, b: dict) -> dict:
+        for i, c in b.items():
+            a[i] = a.get(i, 0) + c
+        return a
+
+    def _indices(self, v: np.ndarray) -> np.ndarray:
+        return np.ceil(np.log(v.astype(np.float64)) / self._lg).astype(np.int64)
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        v = np.fromiter((r["dur_ms"] for r in rows), dtype=np.float64,
+                        count=len(rows))
+        return self._ingest(state, v)
+
+    def update_table(self, state: dict, t) -> dict:
+        return self._ingest(state, t["dur_ms"].to_numpy(zero_copy_only=False))
+
+    def _ingest(self, state: dict, v: np.ndarray) -> dict:
+        idx, cnt = np.unique(self._indices(v), return_counts=True)
+        for i, c in zip(idx, cnt):
+            state[int(i)] = state.get(int(i), 0) + int(c)
+        return state
+
+    def finish(self, key, window, state: dict) -> dict | None:
+        if not state:
+            return None
+        buckets = sorted(state.items())
+        counts = np.array([c for _, c in buckets], dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out = {self.key_column: key, **_fmt_window(window), "n": n}
+        for q in self._QS:
+            # percentile_disc rank over the bucketed multiset
+            j = int(np.searchsorted(cum, int(np.ceil(q * n)), side="left"))
+            i = buckets[min(j, len(buckets) - 1)][0]
+            # bucket (γ^(i-1), γ^i] midpoint 2γ^i/(γ+1); integer micro
+            # units keep the emitted row hash-stable
+            mid = 2.0 * (self._GAMMA ** i) / (self._GAMMA + 1.0)
+            out[f"p{int(q * 100)}_micro"] = int(round(mid * 1e6))
+        return out
+
+
 class TopItems(StreamOpSpec):
     """Grouped streaming top-k: per (key, window) the k most frequent
     items, ties broken ascending by item — the streaming twin of the
@@ -595,5 +667,5 @@ KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
      CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
-     CodecKleene, TopWords)
+     CodecKleene, TopWords, QuantileHist)
 }

@@ -226,3 +226,34 @@ def test_grouped_quantiles_approx_vs_exact_ranks(ray_session):
         for q, col in ((0.5, "p50"), (0.9, "p90")):
             rank = np.searchsorted(s, out.loc[key, col], side="right") / s.size
             assert abs(rank - q) <= 0.02, (key, q, rank)
+
+
+def test_quantile_hist_relative_error_bound():
+    """Streaming DDSketch-shape kernel: the reported bucket midpoint is
+    within alpha = (gamma-1)/(gamma+1) ~ 1 % of the true
+    percentile_disc value, for any fold granularity (bucket counts are
+    multiset algebra, so granularity cannot change the result)."""
+    from parallel_dataflow_ray.streaming.kernels import QuantileHist
+
+    rng = np.random.default_rng(5)
+    vals = np.exp(rng.normal(6.0, 1.2, 20_000))  # lognormal, wide range
+    spec = QuantileHist()
+    alpha = (spec._GAMMA - 1) / (spec._GAMMA + 1)
+
+    # fold in three different granularities -> identical state
+    s1 = spec.initial_state()
+    s1 = spec._ingest(s1, vals)
+    s2 = spec.initial_state()
+    for chunk in np.array_split(vals, 137):
+        s2 = spec._ingest(s2, chunk)
+    s3 = spec.initial_state()
+    for chunk in np.array_split(vals, 7):
+        s3 = spec.merge(s3, spec._ingest(spec.initial_state(), chunk))
+    assert s1 == s2 == s3
+
+    row = spec.finish("k", (0, 1), s1)
+    srt = np.sort(vals)
+    for q in spec._QS:
+        exact = srt[int(np.ceil(q * len(srt))) - 1]  # percentile_disc
+        got = row[f"p{int(q * 100)}_micro"] / 1e6
+        assert abs(got - exact) <= alpha * exact * 1.0001, (q, got, exact)
