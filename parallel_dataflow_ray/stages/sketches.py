@@ -196,8 +196,11 @@ class KLLSketch:
         self._ctr = np.uint64(seed * 0x9E3779B97F4A7C15 + 1)
 
     def _coin(self) -> int:
-        self._ctr = (self._ctr * np.uint64(6364136223846793005)
-                     + np.uint64(1442695040888963407))
+        # LCG step; mod-2^64 wraparound is the point — keep numpy's
+        # overflow warning out of user logs
+        with np.errstate(over="ignore"):
+            self._ctr = (self._ctr * np.uint64(6364136223846793005)
+                         + np.uint64(1442695040888963407))
         return int(self._ctr >> np.uint64(63))
 
     def _compact(self) -> None:

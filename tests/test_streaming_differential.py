@@ -56,8 +56,12 @@ def test_kernel_parity_tumbling(kernel, ooo):
     assert sum(eng_late.values()) == om["late_rows"]
 
 
-def test_sliding_window_parity():
-    spec = KERNELS["clip_stats"]()
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
+def test_sliding_window_parity(kernel):
+    """EVERY kernel under sliding panes — incl. the buffered CEP
+    automata, where "funnel within any covering pane" means the same
+    row set folds per pane independently."""
+    spec = KERNELS[kernel]()
     win = SlidingWindows(3_000_000, 1_000_000)
     table = _clips(True)
     oracle_rows, engine_rows, _, _ = _run_both(
@@ -81,8 +85,12 @@ def test_sliding_assign_non_divisor():
             assert win.assign(ts) == want, (size, slide, ts)
 
 
-def test_session_window_parity():
-    spec = KERNELS["clip_stats"]()
+@pytest.mark.parametrize("kernel", sorted(KERNELS))
+def test_session_window_parity(kernel):
+    """EVERY kernel under merged session intervals — buffered specs
+    must carry their offset-keyed row buffers through interval merges
+    unchanged (the union IS the semilattice combine)."""
+    spec = KERNELS[kernel]()
     win = SessionWindows(gap_us=500_000)
     # sessions need gaps: thin the stream so inter-arrival sometimes > gap
     table = _clips(True).filter(
