@@ -32,7 +32,7 @@ import numpy as np
 
 from ..functions.audio import decode_clip
 from ..stages.cep import FunnelSpec, KleeneSpec
-from .spec import TOP, StreamOpSpec
+from .spec import TOP, CompositeSpec, StreamOpSpec
 
 
 def _fmt_window(w: tuple) -> dict:
@@ -663,9 +663,26 @@ class CodecKleene(KleeneSpec):
                          key_column="speaker_id", type_column="codec")
 
 
+class ClipProfile(CompositeSpec):
+    """Composite registry kernel: ClipStats + QuantileHist + TopWords
+    over the clip stream in ONE shuffle — three aggregates (numeric
+    partial+final, log-bucket quantile sketch, exact top-k counter)
+    that would otherwise cost three engine runs.  All three subs are
+    incremental with ``update_table``, so the composite keeps the
+    vectorized fast path AND map-side combine; registration sweeps the
+    componentwise semilattice through the full differential matrix."""
+
+    name = "clip_profile"
+    key_column = "speaker_id"
+
+    def __init__(self):
+        super().__init__([ClipStats(), QuantileHist(), TopWords()],
+                         name="clip_profile")
+
+
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
      CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
-     CodecKleene, TopWords, QuantileHist)
+     CodecKleene, TopWords, QuantileHist, ClipProfile)
 }

@@ -89,3 +89,74 @@ class StreamOpSpec(ABC):
         emit nothing for this (key, window)."""
         return {"key": key, "window_start": window[0], "window_end": window[1],
                 "state": repr(state)}
+
+
+class CompositeSpec(StreamOpSpec):
+    """Run SEVERAL kernels over one stream in ONE shuffle.
+
+    N aggregates over the same keyed stream normally cost N engine runs
+    — N scans, N shuffles.  The composite's state is a tuple of the
+    sub-kernels' states folded side by side, so every sub-kernel sees
+    exactly the rows it would have seen alone and the whole bundle
+    pays ONE scan + ONE hash shuffle.  The semilattice laws hold
+    componentwise, so everything built on them (partial+final merge,
+    salting, map-side combine, replay idempotence) transfers.
+
+    Contracts: all sub-specs must share ``key_column`` and forward
+    order.  ``incremental`` is the AND of the subs (a buffered sub
+    forces the buffered fold; incremental subs fold correctly there
+    too — one update call with all rows is a legal fold).  The
+    vectorized ``update_table`` path is exposed iff every sub exposes
+    it.  ``finish`` merges the subs' output rows, prefixing value
+    columns with the sub-kernel's name on collision."""
+
+    incremental = True
+    order = "forward"
+
+    def __init__(self, specs: list[StreamOpSpec], name: str = "composite"):
+        assert specs, "composite needs at least one sub-spec"
+        keys = {s.key_column for s in specs}
+        assert len(keys) == 1, f"sub-specs must share key_column: {keys}"
+        assert all(s.order == "forward" for s in specs), \
+            "composite sub-specs must be forward-order"
+        self.specs = list(specs)
+        self.name = name
+        self.key_column = specs[0].key_column
+        self.incremental = all(s.incremental for s in specs)
+        self.value_columns = tuple(dict.fromkeys(
+            c for s in specs for c in s.value_columns))
+        if self.incremental and all(hasattr(s, "update_table")
+                                    for s in specs):
+            # expose the vectorized path only when every sub has it
+            # (engine feature-detects via hasattr on the instance)
+            self.update_table = self._update_table
+
+    def initial_state(self) -> tuple:
+        return tuple(s.initial_state() for s in self.specs)
+
+    def merge(self, a: tuple, b: tuple) -> tuple:
+        return tuple(s.merge(x, y)
+                     for s, x, y in zip(self.specs, a, b))
+
+    def update(self, state: tuple, rows: list[dict]) -> tuple:
+        return tuple(s.update(x, rows)
+                     for s, x in zip(self.specs, state))
+
+    def _update_table(self, state: tuple, table) -> tuple:
+        return tuple(s.update_table(x, table)
+                     for s, x in zip(self.specs, state))
+
+    def finish(self, key: Any, window: tuple, state: tuple) -> dict | None:
+        out: dict | None = None
+        for s, x in zip(self.specs, state):
+            row = s.finish(key, window, x)
+            if row is None:
+                continue
+            if out is None:
+                out = dict(row)
+                continue
+            for c, v in row.items():
+                if c in out and out[c] == v:
+                    continue  # shared key/window columns
+                out[f"{s.name}_{c}" if c in out else c] = v
+        return out

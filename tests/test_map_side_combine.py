@@ -49,7 +49,8 @@ def _run(op_kwargs, epochs, *, combine, P):
 
 
 @pytest.mark.parametrize("spec_name", ["audio_energy", "clip_stats",
-                                       "top_words", "quantile_hist"])
+                                       "top_words", "quantile_hist",
+                                       "clip_profile"])
 @pytest.mark.parametrize("ooo", [False, True], ids=["inorder", "ooo"])
 @pytest.mark.parametrize("win", [TumblingWindows(1_000_000),
                                  SlidingWindows(3_000_000, 2_000_000)],

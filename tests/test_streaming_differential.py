@@ -140,3 +140,32 @@ def test_partition_count_invariance():
         res = eng.run(epochs, collect=True)
         outs.append([r for ep in res["emitted"] for r in ep])
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_composite_equals_standalone_runs():
+    """The defining composite contract: one engine run of clip_profile
+    == three standalone runs, column for column (one scan + one
+    shuffle buys exactly the same answers)."""
+    table = _clips(True)
+
+    def run(kernel):
+        eng = StreamEngine("window", {"spec": KERNELS[kernel](),
+                                      "assigner": WIN},
+                           num_partitions=4, allowed_lateness_us=LATENESS_US)
+        res = eng.run(epochs_from_table(table, EPOCH_ROWS), collect=True)
+        rows = [r for ep in res["emitted"] for r in ep]
+        return {(r.get("key", r.get("speaker_id")),
+                 r.get("window_start", r.get("window_start_us"))): r
+                for r in rows}
+
+    comp = run("clip_profile")
+    for sub in ("clip_stats", "quantile_hist", "top_words"):
+        alone = run(sub)
+        assert alone, sub
+        for k, row in alone.items():
+            # composite row must contain every standalone column value
+            crow = comp[k]
+            for c, v in row.items():
+                if c in ("key", "speaker_id", "window_start_us"):
+                    continue
+                assert crow[c] == v, (sub, k, c)
