@@ -1250,6 +1250,25 @@ def stream_kleene_events(sf_dir: str):
                        "first_match_us": "int64"})
 
 
+DUP_SPAN_WINDOW = 8
+
+
+def dup_spans_docs(sf_dir: str):
+    """Exact duplicated-substring spans (Lee et al. 2022 exact-substring
+    dedup): every 8-token window occurring >= 2 times corpus-wide is a
+    duplicate window; per affected doc, flagged window starts merge
+    into maximal spans (true interval union).  Rolling 61-bit hashes
+    shuffle — never window text; the duplicate decision is a grouped
+    COUNT, so boilerplate cannot fan out pairs (contrast the n-gram
+    inverted index's df-cap).  Gated by a window-string + islands SQL
+    twin (hash collisions are the only possible divergence, odds
+    ~m²/2^62)."""
+    from ..stages.dedup import dup_spans
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_spans(ds, window=DUP_SPAN_WINDOW, min_count=2)
+
+
 def stream_topk_event_types(sf_dir: str):
     """Grouped streaming top-k through the ENGINE: per (user, tumbling
     day) the 2 most frequent event types, ties broken ascending by
@@ -1409,10 +1428,10 @@ QUERIES = {
     "stream_topk_event_types": stream_topk_event_types,
     "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
-    "bpe_token_stats": bpe_token_stats,
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
     "exact_dedup_docs": exact_dedup_docs,
+    "dup_spans_docs": dup_spans_docs,
     "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
     "topk_users_hourly": topk_users_hourly,
@@ -1435,6 +1454,7 @@ QUERIES = {
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
     "session_events": session_events,
+    "bpe_token_stats": bpe_token_stats,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -1916,6 +1936,37 @@ SELECT user_id,
        string_agg(event_type, ',' ORDER BY eu, event_id) AS seq,
        COUNT(*) AS n_events
 FROM e GROUP BY user_id
+""",
+    # exact duplicated-substring spans: window strings + interval-union
+    # islands (the Ray side shuffles rolling hashes instead of strings;
+    # equality up to 61-bit collisions, odds ~m^2/2^62)
+    "dup_spans_docs": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, toks,
+             UNNEST(range(1, len(toks) - {DUP_SPAN_WINDOW - 1} + 1)) AS pos
+      FROM t),
+w AS (SELECT doc_id, pos,
+             array_to_string(toks[pos:pos + {DUP_SPAN_WINDOW - 1}], ' ') AS win
+      FROM p),
+flag AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+f AS (SELECT w.doc_id, w.pos FROM w WHERE w.win IN (SELECT win FROM flag)),
+m AS (SELECT doc_id, pos,
+        MAX(pos + {DUP_SPAN_WINDOW}) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      FROM f),
+i AS (SELECT *, SUM(CASE WHEN prevmax IS NULL OR pos > prevmax
+                         THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m),
+u AS (SELECT doc_id, island, MAX(pos + {DUP_SPAN_WINDOW}) - MIN(pos) AS ulen,
+             COUNT(*) AS nw
+      FROM i GROUP BY doc_id, island),
+n AS (SELECT doc_id, len(toks) AS nt FROM t)
+SELECT u.doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+       CAST(SUM(ulen) AS BIGINT) AS n_removed_tokens,
+       CAST(MIN(n.nt) AS BIGINT) AS n_tokens
+FROM u JOIN n ON n.doc_id = u.doc_id
+GROUP BY u.doc_id
 """,
     "decontaminate_docs": r"""
 WITH words AS (

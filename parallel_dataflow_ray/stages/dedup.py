@@ -571,6 +571,129 @@ def contamination(train: rd.Dataset, bench: rd.Dataset, *,
 
 
 # ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, exact-substring half)
+# ---------------------------------------------------------------------------
+
+def _window_hash_fn(window: int, text_col: str, id_col: str):
+    """Batch UDF: every ``window``-token window of every doc -> one
+    (whash, doc_id, pos, n_tokens) row.  One vectorized SipHash pass
+    over the batch's FLATTENED token stream, then the window's
+    polynomial rolling hash mod 2^61-1 built from ``window`` shifted
+    mulmod-adds — no per-window string materialization, so only 8-byte
+    hashes (never window text) enter the object store."""
+    from ..functions.hashing import (_MERSENNE, _mulmod_mersenne,
+                                     _stable_token_hashes)
+
+    P = np.uint64(_MERSENNE)
+    B = np.uint64(1_000_003)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"whash": pd.Series(dtype="int64"),
+                              id_col: pd.Series(dtype=b[id_col].dtype
+                                                if len(b) else "int64"),
+                              "pos": pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64")})
+        if len(b) == 0:
+            return empty
+        toks = [t.split(" ") for t in b[text_col]]
+        lens = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        n = int(lens.sum())
+        if n < window:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        th = _stable_token_hashes(flat) % P
+        m = n - window + 1
+        W = np.zeros(m, dtype=np.uint64)
+        c = np.uint64(1)
+        for j in range(window):  # W[i] = sum th[i+j] * B^j  (mod p)
+            W = (W + _mulmod_mersenne(np.array([c], dtype=np.uint64),
+                                      th[j:j + m])[0]) % P
+            c = _mulmod_mersenne(np.array([c], dtype=np.uint64),
+                                 np.array([B], dtype=np.uint64))[0, 0]
+        didx = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        valid = didx[:m] == didx[window - 1:]
+        i = np.nonzero(valid)[0]
+        d = didx[i]
+        return pd.DataFrame({
+            "whash": W[i].astype(np.int64),  # < 2^61, int64-safe
+            id_col: b[id_col].to_numpy()[d],
+            "pos": i - starts[d] + 1,        # 1-based, matches the SQL twin
+            "n_tokens": lens[d],
+        })
+
+    return fn
+
+
+def dup_spans(ds: rd.Dataset, *, window: int = 8, min_count: int = 2,
+              text_col: str = "text", id_col: str = "doc_id",
+              num_buckets: int = 64) -> rd.Dataset:
+    """Exact duplicated-substring detection — the exact-substring half
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): flag every ``window``-token span whose text occurs
+    >= ``min_count`` times corpus-wide, and merge each doc's flagged
+    window starts into maximal duplicate spans (true interval union).
+    Output per affected doc: (doc_id, n_dup_windows, n_removed_tokens
+    = union length in tokens, n_tokens).
+
+    Scale shape (vs the n-gram inverted index, which fans out PAIRS and
+    needs a df-cap): this pipeline only ever counts — occurrences
+    shuffle once as (hash, id, pos) triples, the duplicate decision is
+    a grouped COUNT (O(occurrences), boilerplate-proof), and flagged
+    hashes come back via a semi join.  Window identity is the 61-bit
+    rolling hash (collision odds ~m²/2^62 — negligible; an exactness
+    pass could re-verify window text within flagged groups)."""
+    from .relational import bucket_join, bucketed_groupby, grouped_sum
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        _window_hash_fn(window, text_col, id_col),
+        batch_format="pandas", batch_size=1024)
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"whash": b["whash"],
+                             "n": np.ones(len(b), dtype=np.int64)})
+
+    counts = grouped_sum(occ.map_batches(ones, batch_format="pandas"),
+                         ["whash"], ["n"])
+    mc = int(min_count)
+    flagged = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n"], mc))
+        .select(["whash"]), batch_format="pyarrow")
+    hits = bucket_join(occ, flagged, on="whash", how="semi",
+                       num_buckets=num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a bucket holds MANY docs: segmented interval union via
+        # grouped cummax of span ends + doc-boundary breaks (no
+        # per-doc Python loop)
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        codes, uids = pd.factorize(g[id_col].to_numpy())
+        p = g["pos"].to_numpy(dtype=np.int64)
+        e = p + window
+        cm = pd.Series(e).groupby(codes, sort=False).cummax().to_numpy()
+        new = np.empty(p.size, dtype=bool)
+        new[0] = True
+        np.logical_or(codes[1:] != codes[:-1], p[1:] > cm[:-1],
+                      out=new[1:])
+        seg = np.nonzero(new)[0]
+        seg_end = np.append(seg[1:], p.size)
+        seg_len = cm[seg_end - 1] - p[seg]          # per-segment union
+        seg_doc = codes[seg]
+        ulen = np.bincount(seg_doc, weights=seg_len,
+                           minlength=len(uids)).astype(np.int64)
+        nwin = np.bincount(codes, minlength=len(uids)).astype(np.int64)
+        # codes are non-decreasing (bucket sorted by id): first row of
+        # each doc via searchsorted
+        ntok = g["n_tokens"].to_numpy(dtype=np.int64)[
+            np.searchsorted(codes, np.arange(len(uids)))]
+        return pd.DataFrame({id_col: uids, "n_dup_windows": nwin,
+                             "n_removed_tokens": ulen, "n_tokens": ntok})
+
+    return bucketed_groupby(hits, [id_col], per_bucket,
+                            num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -104,3 +104,74 @@ def test_components_empty_pairs():
     # assert on the dataset schema (which downstream joins consume)
     assert got.schema().names == ["doc_id", "cluster_id"]
     assert got.count() == 0
+
+
+def _dup_span_bruteforce(df: pd.DataFrame, L: int) -> pd.DataFrame:
+    wins: dict[str, int] = {}
+    per_doc: dict[object, list[int]] = {}
+    for _, r in df.iterrows():
+        toks = r["text"].split(" ")
+        for i in range(len(toks) - L + 1):
+            w = " ".join(toks[i:i + L])
+            wins[w] = wins.get(w, 0) + 1
+            per_doc.setdefault(r["doc_id"], []).append(0)  # placeholder
+    rows = []
+    for _, r in df.iterrows():
+        toks = r["text"].split(" ")
+        flagged = [i + 1 for i in range(len(toks) - L + 1)
+                   if wins[" ".join(toks[i:i + L])] >= 2]
+        if not flagged:
+            continue
+        # interval union of [p, p+L)
+        spans, cur = [], None
+        for p in flagged:
+            if cur is None or p > cur[1]:
+                cur = [p, p + L]
+                spans.append(cur)
+            else:
+                cur[1] = max(cur[1], p + L)
+        rows.append({"doc_id": r["doc_id"], "n_dup_windows": len(flagged),
+                     "n_removed_tokens": sum(b - a for a, b in spans),
+                     "n_tokens": len(toks)})
+    return (pd.DataFrame(rows)
+            .astype({"n_dup_windows": "int64",
+                     "n_removed_tokens": "int64", "n_tokens": "int64"})
+            .sort_values("doc_id", ignore_index=True))
+
+
+def test_dup_spans_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        toks = list(rng.choice(vocab, rng.integers(12, 60)))
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+    # inject exact shared spans (partial overlaps, multiple per doc)
+    shared = " ".join(vocab[:10])           # 10-token boilerplate
+    docs[3]["text"] += " " + shared
+    docs[7]["text"] = shared + " " + docs[7]["text"]
+    docs[11]["text"] += " " + shared + " filler " + shared
+    df = pd.DataFrame(docs)
+    got = (dd.dup_spans(rd.from_pandas(df), window=8, min_count=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    want = _dup_span_bruteforce(df, 8)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert len(want) >= 3
+
+
+def test_dup_spans_boilerplate_no_fanout(ray_session):
+    """The design claim vs the n-gram inverted index: a boilerplate
+    window shared by EVERY doc costs O(occurrences) count rows, not
+    O(occurrences^2) pairs — 1000 docs sharing one sentence must
+    complete fast and flag all of them."""
+    shared = " ".join(f"b{i}" for i in range(8))
+    df = pd.DataFrame({
+        "doc_id": range(1000),
+        "text": [f"u{i}a u{i}b u{i}c " + shared + f" t{i}x t{i}y"
+                 for i in range(1000)],
+    })
+    out = dd.dup_spans(rd.from_pandas(df), window=8,
+                       min_count=2).to_pandas()
+    assert len(out) == 1000
+    assert (out["n_dup_windows"] == 1).all()
+    assert (out["n_removed_tokens"] == 8).all()
