@@ -35,7 +35,8 @@ BATCH_QUERIES = [
     "tumbling_events", "sliding_events", "session_events",
     "token_stats", "exact_dedup_docs", "curate_docs", "curate_neardup_docs",
     "topk_users_hourly",
-    "minhash_neardup", "dup_spans_docs", "semi_join_customers",
+    "minhash_neardup", "dup_spans_docs", "scrub_dup_spans_docs",
+    "semi_join_customers",
     "range_join_error_after_signup", "bpe_token_stats",
     "running_user_totals", "distinct_users_by_type",
     "embedding_neardup_lsh",

@@ -1269,6 +1269,19 @@ def dup_spans_docs(sf_dir: str):
     return dup_spans(ds, window=DUP_SPAN_WINDOW, min_count=2)
 
 
+def scrub_dup_spans_docs(sf_dir: str):
+    """Exact-substring SCRUB (the transform half of `dup_spans_docs`):
+    every duplicated 8-token span is removed from every occurrence and
+    ALL docs come back with cleaned text + removed-token counts (a doc
+    that is pure duplicate content returns text='').  Text crosses the
+    shuffle exactly once (the doc-keyed join of flagged starts);
+    coverage masks are difference-array + cumsum."""
+    from ..stages.dedup import scrub_dup_spans
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return scrub_dup_spans(ds, window=DUP_SPAN_WINDOW, min_count=2)
+
+
 def stream_topk_event_types(sf_dir: str):
     """Grouped streaming top-k through the ENGINE: per (user, tumbling
     day) the 2 most frequent event types, ties broken ascending by
@@ -1405,7 +1418,6 @@ QUERIES = {
     "left_join_customer_orders": left_join_customer_orders,
     "outer_join_user_activity": outer_join_user_activity,
     "range_join_error_after_signup": range_join_error_after_signup,
-    "broadcast_region_count": broadcast_region_count,
     "brand_revenue_by_nation": brand_revenue_by_nation,
     "topk_orders": topk_orders,
     "props_k_by_type": props_k_by_type,
@@ -1432,6 +1444,7 @@ QUERIES = {
     "stratified_docs": stratified_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "dup_spans_docs": dup_spans_docs,
+    "scrub_dup_spans_docs": scrub_dup_spans_docs,
     "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
     "topk_users_hourly": topk_users_hourly,
@@ -1455,6 +1468,9 @@ QUERIES = {
     "sliding_events": sliding_events,
     "session_events": session_events,
     "bpe_token_stats": bpe_token_stats,
+    # brand_revenue_by_nation (3-chain broadcast) supersedes the
+    # single-lookup broadcast_region_count for driver coverage
+    "broadcast_region_count": broadcast_region_count,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -1967,6 +1983,33 @@ SELECT u.doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
        CAST(MIN(n.nt) AS BIGINT) AS n_tokens
 FROM u JOIN n ON n.doc_id = u.doc_id
 GROUP BY u.doc_id
+""",
+    # the scrub twin: covered token positions via UNNEST(range) over
+    # flagged starts, kept tokens re-joined in position order
+    "scrub_dup_spans_docs": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (SELECT doc_id, toks,
+             UNNEST(range(1, len(toks) - {DUP_SPAN_WINDOW - 1} + 1)) AS pos
+      FROM t),
+w AS (SELECT doc_id, pos,
+             array_to_string(toks[pos:pos + {DUP_SPAN_WINDOW - 1}], ' ') AS win
+      FROM p),
+flag AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+f AS (SELECT w.doc_id, w.pos FROM w WHERE w.win IN (SELECT win FROM flag)),
+covd AS (SELECT DISTINCT doc_id,
+                UNNEST(range(pos, pos + {DUP_SPAN_WINDOW})) AS cp
+         FROM f),
+tok AS (SELECT doc_id, UNNEST(range(1, len(toks) + 1)) AS tp, toks FROM t),
+tok2 AS (SELECT doc_id, tp, toks[tp] AS tk FROM tok),
+kept AS (SELECT tok2.doc_id, string_agg(tk, ' ' ORDER BY tp) AS ctext,
+                COUNT(*) AS n_kept
+         FROM tok2 ANTI JOIN covd
+           ON tok2.doc_id = covd.doc_id AND tok2.tp = covd.cp
+         GROUP BY tok2.doc_id)
+SELECT t.doc_id, COALESCE(kept.ctext, '') AS text,
+       CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens
+FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
 """,
     "decontaminate_docs": r"""
 WITH words AS (

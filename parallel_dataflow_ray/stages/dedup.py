@@ -625,6 +625,31 @@ def _window_hash_fn(window: int, text_col: str, id_col: str):
     return fn
 
 
+def _dup_hits(ds: rd.Dataset, window: int, min_count: int, text_col: str,
+              id_col: str, num_buckets: int) -> rd.Dataset:
+    """Shared front half of :func:`dup_spans` / :func:`scrub_dup_spans`:
+    (whash, doc_id, pos, n_tokens) rows for every window occurring >=
+    ``min_count`` times corpus-wide.  Counts only — never pairs."""
+    from .relational import bucket_join, grouped_sum
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        _window_hash_fn(window, text_col, id_col),
+        batch_format="pandas", batch_size=1024)
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"whash": b["whash"],
+                             "n": np.ones(len(b), dtype=np.int64)})
+
+    counts = grouped_sum(occ.map_batches(ones, batch_format="pandas"),
+                         ["whash"], ["n"])
+    mc = int(min_count)
+    flagged = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n"], mc))
+        .select(["whash"]), batch_format="pyarrow")
+    return bucket_join(occ, flagged, on="whash", how="semi",
+                       num_buckets=num_buckets)
+
+
 def dup_spans(ds: rd.Dataset, *, window: int = 8, min_count: int = 2,
               text_col: str = "text", id_col: str = "doc_id",
               num_buckets: int = 64) -> rd.Dataset:
@@ -643,24 +668,9 @@ def dup_spans(ds: rd.Dataset, *, window: int = 8, min_count: int = 2,
     hashes come back via a semi join.  Window identity is the 61-bit
     rolling hash (collision odds ~m²/2^62 — negligible; an exactness
     pass could re-verify window text within flagged groups)."""
-    from .relational import bucket_join, bucketed_groupby, grouped_sum
+    from .relational import bucketed_groupby
 
-    occ = ds.select_columns([id_col, text_col]).map_batches(
-        _window_hash_fn(window, text_col, id_col),
-        batch_format="pandas", batch_size=1024)
-
-    def ones(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"whash": b["whash"],
-                             "n": np.ones(len(b), dtype=np.int64)})
-
-    counts = grouped_sum(occ.map_batches(ones, batch_format="pandas"),
-                         ["whash"], ["n"])
-    mc = int(min_count)
-    flagged = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["n"], mc))
-        .select(["whash"]), batch_format="pyarrow")
-    hits = bucket_join(occ, flagged, on="whash", how="semi",
-                       num_buckets=num_buckets)
+    hits = _dup_hits(ds, window, min_count, text_col, id_col, num_buckets)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # a bucket holds MANY docs: segmented interval union via
@@ -690,6 +700,60 @@ def dup_spans(ds: rd.Dataset, *, window: int = 8, min_count: int = 2,
                              "n_removed_tokens": ulen, "n_tokens": ntok})
 
     return bucketed_groupby(hits, [id_col], per_bucket,
+                            num_buckets=num_buckets)
+
+
+def scrub_dup_spans(ds: rd.Dataset, *, window: int = 8, min_count: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 64) -> rd.Dataset:
+    """The user-facing half of exact substring dedup: REMOVE every
+    duplicated span (all occurrences, the Lee et al. 2022 exact-substring
+    scrub) and emit every doc with its cleaned text and the removed
+    token count.  A doc that is entirely duplicated content comes back
+    with ``text == ''`` — downstream curation drops or re-weights it.
+
+    Shape: the counts-only front half (:func:`_dup_hits`), flagged
+    window starts joined back to the docs with ONE doc-keyed bucket
+    join (the only stage where text shuffles), then a per-doc coverage
+    mask built by difference-array + cumsum — token membership in any
+    flagged [p, p+window) span — and a vectorized keep-filter.  The
+    per-bucket group loop is over DOCS (string split/join are per-doc
+    by nature); everything inside is numpy."""
+    from .relational import bucket_join, bucketed_groupby
+
+    hits = _dup_hits(ds, window, min_count, text_col, id_col, num_buckets)
+
+    def pos_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[id_col, "pos"]]
+
+    joined = bucket_join(ds.select_columns([id_col, text_col]),
+                         hits.map_batches(pos_only, batch_format="pandas"),
+                         on=id_col, how="left", num_buckets=num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids, texts, removed = [], [], []
+        for doc, sub in g.groupby(id_col, sort=False):
+            text = sub[text_col].iloc[0]
+            pos = sub["pos"].dropna()
+            ids.append(doc)
+            if not len(pos):
+                texts.append(text)
+                removed.append(0)
+                continue
+            toks = np.asarray(text.split(" "), dtype=object)
+            n = toks.size
+            p = pos.to_numpy(dtype=np.int64) - 1      # 0-based starts
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p + window, n), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            texts.append(" ".join(toks[~covered]))
+            removed.append(int(covered.sum()))
+        return pd.DataFrame({id_col: ids, text_col: texts,
+                             "n_removed_tokens": np.asarray(removed,
+                                                            dtype=np.int64)})
+
+    return bucketed_groupby(joined, [id_col], per_bucket,
                             num_buckets=num_buckets)
 
 

@@ -175,3 +175,28 @@ def test_dup_spans_boilerplate_no_fanout(ray_session):
     assert len(out) == 1000
     assert (out["n_dup_windows"] == 1).all()
     assert (out["n_removed_tokens"] == 8).all()
+
+
+def test_scrub_dup_spans_consistent_with_stats(ray_session):
+    """The transform half must agree with the stats half: same removed
+    token counts for flagged docs, zero for the rest, and cleaned
+    token count + removed == original tokens."""
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]]
+    ds = rd.from_pandas(df)
+    stats = dd.dup_spans(ds, window=8, min_count=2).to_pandas()
+    scrub = dd.scrub_dup_spans(rd.from_pandas(df), window=8,
+                               min_count=2).to_pandas()
+    assert len(scrub) == len(df)
+    merged = scrub.merge(stats[["doc_id", "n_removed_tokens"]],
+                         on="doc_id", how="left", suffixes=("", "_stats"))
+    want = merged["n_removed_tokens_stats"].fillna(0).astype("int64")
+    pd.testing.assert_series_equal(merged["n_removed_tokens"], want,
+                                   check_names=False)
+    orig_tokens = df.set_index("doc_id")["text"].str.split(" ").str.len()
+    cleaned_tokens = scrub.set_index("doc_id")["text"].map(
+        lambda t: len(t.split(" ")) if t else 0)
+    total = (cleaned_tokens
+             + scrub.set_index("doc_id")["n_removed_tokens"]).sort_index()
+    pd.testing.assert_series_equal(total, orig_tokens.sort_index(),
+                                   check_names=False)
