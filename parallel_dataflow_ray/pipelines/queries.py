@@ -1398,6 +1398,59 @@ def audio_features_q(sf_dir: str):
         ["clip_id", "n_samples", "rms_q20", "peak_q20"])
 
 
+def _clips_ds(n: int, seed: int = 42, **kw):
+    from ..fixtures import clips_dataset
+    return clips_dataset(n, seed=seed, **kw)
+
+
+def resample_clips_q(sf_dir: str):
+    """Audio resample to 16 kHz pcm16 (rows-only: DSP has no SQL twin;
+    length law + analytic-sine SNR>=30 dB + batch==per-clip parity in
+    tests/test_audio_prep.py).  Flat-vectorized: the whole batch is one
+    gather+lerp; payload bytes are dropped before the result leaves."""
+    from ..stages.audio_prep import resample_clips
+    out = resample_clips(_clips_ds(400, 42), 16000, concurrency=(1, 4))
+    return out.select_columns(["clip_id", "dur_ms", "n_samples", "rms_q20"])
+
+
+def vad_segments_clips_q(sf_dir: str):
+    """Frame-energy VAD segments over silence-padded clips (rows-only;
+    brute-force run parity + padded-speech recovery in
+    tests/test_audio_prep.py).  Row explosion (clip -> 0..k segments)
+    as a single vectorized map_batches — the flat_map shape."""
+    from ..stages.audio_prep import PadSilenceStage, vad_segment_clips
+    ds = _clips_ds(400, 42).map_batches(
+        PadSilenceStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4))
+    return vad_segment_clips(ds, concurrency=(1, 4)).select_columns(
+        ["clip_id", "seg_idx", "start_ms", "end_ms", "seg_rms_q20"])
+
+
+def chunk_clips_q(sf_dir: str):
+    """Fixed-window chunking with overlap — the audio analog of
+    training-sequence packing (rows-only; plan brute-force parity +
+    non-overlap reconstruction SNR>=30 dB in tests/test_audio_prep.py)."""
+    from ..stages.audio_prep import chunk_clips
+    out = chunk_clips(_clips_ds(400, 42), chunk_ms=250, hop_ms=200,
+                      concurrency=(1, 4))
+    return out.select_columns(["clip_id", "chunk_idx", "start_ms",
+                               "n_samples"])
+
+
+def curate_clips_q(sf_dir: str):
+    """The audio curation flagship composition (rows-only; differential
+    vs an independent per-row brute-force twin in
+    tests/test_audio_prep.py): one-decode-pass quality features ->
+    vectorized duration/loudness/clipping/speech-rate filter ->
+    transcript exact-dedup, first-arrived row wins (min offset), with
+    the winner's attributes carried through the single shuffle.  The
+    fixture re-issues every 13th clip_id so the dedup is live."""
+    from ..stages.audio_prep import curate_clips
+    out = curate_clips(_clips_ds(600, 33, dup_every=13))
+    return out.select_columns(["offset", "n_dups", "clip_id", "speaker_id",
+                               "dur_ms", "n_words", "rms_q20"])
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1491,6 +1544,10 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "approx_quantiles_events": approx_quantiles_events,
     "stream_quantile_durations": stream_quantile_durations,
+    "resample_clips": resample_clips_q,
+    "vad_segments_clips": vad_segments_clips_q,
+    "chunk_clips": chunk_clips_q,
+    "curate_clips": curate_clips_q,
 }
 
 _TUMBLING_SQL = """

@@ -1,0 +1,557 @@
+"""Audio preprocessing stages: resample, VAD / silence trim, loudness
+normalization, fixed-window chunking, and the ``curate_clips``
+composition — the audio half of a training-data curation pipeline.
+
+All kernels are **flat-vectorized**: a batch of variable-length clips is
+decoded into ONE contiguous float32 array plus per-clip offsets, and
+every transform is a single numpy pass over that flat stream
+(``np.add.reduceat`` for framed energies, gather+lerp for resampling,
+``np.repeat`` for per-clip broadcasts).  No per-sample or per-frame
+Python — the only row-level loops left are memcpy-bound byte slicing
+when re-encoding output clips.
+
+Scale notes (100 TB): every stage here is a stateless or actor-pool
+``map_batches`` over the clip stream — no shuffle, no materialization;
+decoded PCM lives only inside the batch call (a 100 TB stream of clips
+must not become 200 TB of floats in the object store).  Output clips
+are re-encoded pcm16 before leaving the stage.  ``curate_clips``'s only
+shuffle is the transcript-fingerprint exact-dedup (hash partitioning on
+a 64-bit fingerprint — identical shape to ``exact_dedup`` on docs).
+
+Reference analog: the per-instruction transfer functions
+(``passes/src/*.rs``) are pure local transforms fused into one pass over
+a block; these kernels are the payload-axis equivalent — pure local DSP
+fused into one pass over a batch (design provenance, not a port).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.audio import (
+    bytes_per_sample,
+    decode_clip,
+    encode_pcm16,
+)
+
+# ---------------------------------------------------------------------------
+# flat batch codec: list-of-clips <-> (flat float32, lens, offsets)
+# ---------------------------------------------------------------------------
+
+
+def decode_flat(bts: list[bytes], codecs: list[str]
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a whole batch into one flat float32 array.
+
+    Returns ``(flat, lens, off)`` with ``flat[off[i]:off[i]+lens[i]]``
+    = clip *i*'s PCM.  Both supported codecs are sample-wise maps, so
+    all same-codec clips are decoded with ONE ``frombuffer`` over their
+    joined bytes; the scatter back into row order is a memcpy loop.
+    """
+    n = len(bts)
+    lens = np.fromiter(
+        (len(b) // bytes_per_sample(c) for b, c in zip(bts, codecs)),
+        dtype=np.int64, count=n)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    flat = np.empty(int(off[-1]), dtype=np.float32)
+    by_codec: dict[str, list[int]] = {}
+    for i, c in enumerate(codecs):
+        by_codec.setdefault(c, []).append(i)
+    for c, idxs in by_codec.items():
+        dec = decode_clip(b"".join(bts[i] for i in idxs), c)
+        p = 0
+        for i in idxs:
+            ln = int(lens[i])
+            flat[off[i]:off[i] + ln] = dec[p:p + ln]
+            p += ln
+    return flat, lens, off[:-1]
+
+
+def encode_pcm16_slices(flat: np.ndarray, starts: np.ndarray,
+                        counts: np.ndarray) -> list[bytes]:
+    """Re-encode arbitrary [start, start+count) slices of a flat PCM
+    stream as pcm16 byte strings: ONE quantization pass over the whole
+    stream, then memcpy-bound byte slicing per output clip."""
+    buf = encode_pcm16(flat)
+    view = memoryview(buf)
+    return [bytes(view[2 * int(s): 2 * (int(s) + int(c))])
+            for s, c in zip(starts, counts)]
+
+
+# ---------------------------------------------------------------------------
+# kernels over the flat stream (all one-shot numpy)
+# ---------------------------------------------------------------------------
+
+
+def resample_flat(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
+                  sr_in: np.ndarray, sr_out: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Linear-interpolation resample of every clip to ``sr_out``.
+
+    Output sample *j* of clip *i* is taken at source position
+    ``j * sr_in[i] / sr_out`` (time-aligned at t = j/sr_out, the
+    standard polyphase-free linear resampler).  Output length is the
+    round-half-up of ``n * sr_out / sr_in`` so a clip's duration is
+    preserved to within half an output sample.  Entirely vectorized:
+    one gather + lerp over the concatenated batch.
+    """
+    sr_in = sr_in.astype(np.int64)
+    m = (lens * sr_out + sr_in // 2) // sr_in  # rounded integer division
+    m = np.where(lens > 0, np.maximum(m, 1), 0)
+    out_total = int(m.sum())
+    if out_total == 0:
+        return np.empty(0, np.float32), m
+    out_off = np.cumsum(m) - m
+    j = np.arange(out_total, dtype=np.int64) - np.repeat(out_off, m)
+    ratio = np.repeat(sr_in.astype(np.float64) / float(sr_out), m)
+    last = np.repeat(np.maximum(lens - 1, 0), m)  # clamp inside each clip
+    p = np.minimum(j * ratio, last.astype(np.float64))
+    gp = p + np.repeat(off, m)
+    k = np.floor(gp).astype(np.int64)
+    frac = (gp - k).astype(np.float32)
+    k2 = np.minimum(k + 1, np.repeat(off + np.maximum(lens - 1, 0), m))
+    out = flat[k] * (1.0 - frac) + flat[k2] * frac
+    return out.astype(np.float32, copy=False), m
+
+
+def frame_starts(lens: np.ndarray, off: np.ndarray, frame_len: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-clip framing of the flat stream.
+
+    Returns ``(starts, n_frames, flens)``: global start index of every
+    frame, frames per clip, and each frame's actual length (the last
+    frame of a clip may be short).  ``frame_len`` is per-clip (frames
+    are fixed *milliseconds*, so sample counts differ across sr_hz).
+    """
+    frame_len = np.maximum(frame_len.astype(np.int64), 1)
+    nf = np.where(lens > 0, -(-lens // frame_len), 0)  # ceil-div
+    total = int(nf.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, nf, z
+    foff = np.cumsum(nf) - nf
+    j = np.arange(total, dtype=np.int64) - np.repeat(foff, nf)
+    starts = np.repeat(off, nf) + j * np.repeat(frame_len, nf)
+    ends = np.minimum(starts + np.repeat(frame_len, nf),
+                      np.repeat(off + lens, nf))
+    return starts, nf, ends - starts
+
+
+def frame_rms(flat: np.ndarray, starts: np.ndarray, flens: np.ndarray
+              ) -> np.ndarray:
+    """RMS of every frame: one ``np.add.reduceat`` over the squared
+    stream (frame starts always include every clip's first sample, so
+    no frame ever bleeds across a clip boundary)."""
+    if starts.size == 0:
+        return np.zeros(0, np.float64)
+    sq = np.square(flat, dtype=np.float64)
+    e = np.add.reduceat(sq, starts)
+    # reduceat's last segment runs to the end of `flat`; frames are
+    # contiguous per construction so only trailing samples after the
+    # final frame could leak — there are none (frames tile each clip).
+    return np.sqrt(e / np.maximum(flens, 1))
+
+
+def vad_segments(mask: np.ndarray, nf: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Maximal runs of speech frames per clip.
+
+    ``mask`` is the per-frame speech decision (frames ordered clip by
+    clip), ``nf`` frames-per-clip.  Returns ``(clip_idx, seg_start_f,
+    seg_end_f)`` with frame indices local to the clip and ``end``
+    exclusive.  Vectorized boundary detection: a run starts where mask
+    rises OR a clip boundary cuts a run.
+    """
+    total = mask.size
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    clip_of = np.repeat(np.arange(nf.size, dtype=np.int64), nf)
+    prev = np.concatenate(([False], mask[:-1]))
+    prev_clip = np.concatenate(([-1], clip_of[:-1]))
+    new_clip = clip_of != prev_clip
+    start = mask & (~prev | new_clip)
+    nxt = np.concatenate((mask[1:], [False]))
+    nxt_clip = np.concatenate((clip_of[1:], [-2]))
+    end = mask & (~nxt | (nxt_clip != clip_of))
+    s_idx = np.flatnonzero(start)
+    e_idx = np.flatnonzero(end)
+    foff = np.cumsum(nf) - nf
+    ci = clip_of[s_idx]
+    return ci, s_idx - foff[ci], e_idx - foff[ci] + 1
+
+
+def per_clip_rms(flat: np.ndarray, lens: np.ndarray, off: np.ndarray
+                 ) -> np.ndarray:
+    """RMS of every clip in one reduceat pass (0.0 for empty clips)."""
+    out = np.zeros(lens.size, np.float64)
+    nz = lens > 0
+    if flat.size:
+        sq = np.square(flat, dtype=np.float64)
+        # reduceat needs strictly valid indices; restrict to non-empty
+        e = np.add.reduceat(sq, off[nz]) if nz.any() else np.zeros(0)
+        out[nz] = np.sqrt(e / lens[nz])
+    return out
+
+
+def per_clip_peak(flat: np.ndarray, lens: np.ndarray, off: np.ndarray
+                  ) -> np.ndarray:
+    out = np.zeros(lens.size, np.float64)
+    nz = lens > 0
+    if flat.size and nz.any():
+        out[nz] = np.maximum.reduceat(np.abs(flat, dtype=np.float64), off[nz])
+    return out
+
+
+def gain_normalize_flat(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
+                        target_rms: float = 0.1, peak_limit: float = 0.99
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-clip loudness normalization: scale each clip to
+    ``target_rms``, capping the gain so the peak never exceeds
+    ``peak_limit`` (no clipping introduced).  Returns the scaled stream
+    and the applied per-clip gains."""
+    r = per_clip_rms(flat, lens, off)
+    p = per_clip_peak(flat, lens, off)
+    gain = np.where(r > 0, target_rms / np.maximum(r, 1e-12), 1.0)
+    cap = np.where(p > 0, peak_limit / np.maximum(p, 1e-12), np.inf)
+    gain = np.minimum(gain, cap)
+    return (flat * np.repeat(gain, lens).astype(np.float32)), gain
+
+
+def chunk_plan(lens: np.ndarray, chunk_len: np.ndarray, hop_len: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fixed-window chunking plan: chunk *k* of clip *i* covers samples
+    ``[k*hop, min(k*hop + chunk, n))``.  Chunks are emitted while their
+    start is inside the clip and they contribute at least one new
+    sample: ``n_chunks = max(1, ceil((n - chunk) / hop) + 1)`` for
+    n > 0.  Returns ``(clip_idx, chunk_start_local, chunk_count)`` per
+    output chunk, all vectorized."""
+    chunk_len = np.maximum(chunk_len.astype(np.int64), 1)
+    hop_len = np.maximum(hop_len.astype(np.int64), 1)
+    extra = np.maximum(lens - chunk_len, 0)
+    nch = np.where(lens > 0, -(-extra // hop_len) + 1, 0)
+    total = int(nch.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    coff = np.cumsum(nch) - nch
+    k = np.arange(total, dtype=np.int64) - np.repeat(coff, nch)
+    ci = np.repeat(np.arange(lens.size, dtype=np.int64), nch)
+    start = k * np.repeat(hop_len, nch)
+    cnt = np.minimum(start + np.repeat(chunk_len, nch),
+                     np.repeat(lens, nch)) - start
+    return ci, start, cnt
+
+
+# ---------------------------------------------------------------------------
+# Ray Data stages
+# ---------------------------------------------------------------------------
+
+
+class ResampleStage:
+    """Actor-pool stage: decode -> (optional loudness normalize) ->
+    linear resample to ``sr_out`` -> re-encode pcm16.
+
+    Output rows keep the input's id/metadata columns, with ``bytes``
+    replaced by the resampled pcm16 payload, ``sr_hz`` = ``sr_out``,
+    ``codec`` = 'pcm16' and an added ``n_samples`` column.
+    """
+
+    def __init__(self, sr_out: int = 16000, *, target_rms: float | None = None,
+                 quantize: int = 1 << 20):
+        self.sr_out = int(sr_out)
+        self.target_rms = target_rms
+        self.q = quantize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        flat, lens, off = decode_flat(bts, codecs)
+        if self.target_rms is not None:
+            flat, _ = gain_normalize_flat(flat, lens, off,
+                                          target_rms=self.target_rms)
+        sr_in = t["sr_hz"].to_numpy().astype(np.int64)
+        out, m = resample_flat(flat, lens, off, sr_in, self.sr_out)
+        out_off = np.cumsum(m) - m
+        payload = encode_pcm16_slices(out, out_off, m)
+        rms_q = np.rint(per_clip_rms(out, m, out_off) * self.q).astype(np.int64)
+        cols = {name: t[name] for name in t.schema.names}
+        cols["bytes"] = pa.array(payload, type=pa.binary())
+        cols["sr_hz"] = pa.array(np.full(len(bts), self.sr_out, np.int32))
+        cols["codec"] = pa.array(["pcm16"] * len(bts))
+        res = pa.table(cols)
+        res = res.append_column("n_samples", pa.array(m))
+        return res.append_column("rms_q20", pa.array(rms_q))
+
+
+class VadSegmentStage:
+    """Frame-energy VAD: emit one row per maximal speech segment.
+
+    Output: (clip_id, seg_idx, start_ms, end_ms, seg_rms_q20).  Frames
+    are ``frame_ms`` long; a frame is speech iff its RMS >= ``thresh``.
+    Row explosion (0..k rows per clip) — the flat_map shape — done as a
+    single vectorized map_batches.
+    """
+
+    def __init__(self, frame_ms: int = 20, thresh: float = 0.02,
+                 quantize: int = 1 << 20):
+        self.frame_ms = int(frame_ms)
+        self.thresh = float(thresh)
+        self.q = quantize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        flat, lens, off = decode_flat(bts, codecs)
+        sr = t["sr_hz"].to_numpy().astype(np.int64)
+        flen = sr * self.frame_ms // 1000
+        starts, nf, flens = frame_starts(lens, off, flen)
+        fr = frame_rms(flat, starts, flens)
+        ci, s_f, e_f = vad_segments(fr >= self.thresh, nf)
+        ids = np.asarray(t["clip_id"].to_pylist(), dtype=object)
+        seg_idx = np.arange(ci.size, dtype=np.int64)
+        if ci.size:
+            # seg_idx local to clip: subtract each clip's first seg index
+            first = np.concatenate(([0], np.flatnonzero(np.diff(ci)) + 1))
+            seg_idx = seg_idx - np.repeat(seg_idx[first],
+                                          np.diff(np.concatenate((first, [ci.size]))))
+        # segment RMS: energy between frame boundaries (exact, from sq sums)
+        seg_rms = np.zeros(ci.size, np.float64)
+        if ci.size:
+            foff = np.cumsum(nf) - nf
+            gs = starts[foff[ci] + s_f]
+            ge_frame = foff[ci] + e_f - 1
+            ge = starts[ge_frame] + flens[ge_frame]
+            sq = np.square(flat, dtype=np.float64)
+            cs = np.concatenate(([0.0], np.cumsum(sq)))
+            seg_rms = np.sqrt((cs[ge] - cs[gs]) / np.maximum(ge - gs, 1))
+        return pa.table({
+            "clip_id": pa.array(ids[ci].tolist() if ci.size else [],
+                                type=pa.string()),
+            "seg_idx": pa.array(seg_idx),
+            "start_ms": pa.array(s_f * self.frame_ms),
+            "end_ms": pa.array(e_f * self.frame_ms),
+            "seg_rms_q20": pa.array(np.rint(seg_rms * self.q).astype(np.int64)),
+        })
+
+
+class TrimSilenceStage:
+    """Trim leading/trailing sub-threshold frames from every clip and
+    re-encode pcm16.  Clips that are entirely silence become empty
+    (n_samples == 0) — downstream filters drop them explicitly."""
+
+    def __init__(self, frame_ms: int = 20, thresh: float = 0.02):
+        self.frame_ms = int(frame_ms)
+        self.thresh = float(thresh)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        flat, lens, off = decode_flat(bts, codecs)
+        sr = t["sr_hz"].to_numpy().astype(np.int64)
+        flen = np.maximum(sr * self.frame_ms // 1000, 1)
+        starts, nf, flens = frame_starts(lens, off, flen)
+        fr = frame_rms(flat, starts, flens)
+        ci, s_f, e_f = vad_segments(fr >= self.thresh, nf)
+        n = len(bts)
+        first_f = np.zeros(n, np.int64)
+        last_f = np.zeros(n, np.int64)  # exclusive, 0 => all silence
+        if ci.size:
+            firsts = np.concatenate(([0], np.flatnonzero(np.diff(ci)) + 1))
+            lasts = np.concatenate((firsts[1:] - 1, [ci.size - 1]))
+            first_f[ci[firsts]] = s_f[firsts]
+            last_f[ci[lasts]] = e_f[lasts]
+        t_start = np.minimum(first_f * flen, lens)
+        t_end = np.minimum(last_f * flen, lens)
+        cnt = np.maximum(t_end - t_start, 0)
+        payload = encode_pcm16_slices(flat, off + t_start, cnt)
+        cols = {name: t[name] for name in t.schema.names}
+        cols["bytes"] = pa.array(payload, type=pa.binary())
+        cols["codec"] = pa.array(["pcm16"] * n)
+        res = pa.table(cols)
+        res = res.append_column("n_samples", pa.array(cnt))
+        res = res.append_column("trim_start_ms",
+                                pa.array(t_start * 1000 // np.maximum(sr, 1)))
+        return res
+
+
+class ChunkStage:
+    """Split every clip into fixed-duration windows with overlap —
+    the audio analog of training-sequence packing.  Emits one row per
+    chunk with real pcm16 payload bytes."""
+
+    def __init__(self, chunk_ms: int = 250, hop_ms: int = 200):
+        self.chunk_ms = int(chunk_ms)
+        self.hop_ms = int(hop_ms)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        flat, lens, off = decode_flat(bts, codecs)
+        sr = t["sr_hz"].to_numpy().astype(np.int64)
+        ci, start, cnt = chunk_plan(lens, sr * self.chunk_ms // 1000,
+                                    sr * self.hop_ms // 1000)
+        payload = encode_pcm16_slices(flat, off[ci] + start, cnt)
+        ids = np.asarray(t["clip_id"].to_pylist(), dtype=object)
+        chunk_idx = np.arange(ci.size, dtype=np.int64)
+        if ci.size:
+            first = np.concatenate(([0], np.flatnonzero(np.diff(ci)) + 1))
+            chunk_idx = chunk_idx - np.repeat(
+                chunk_idx[first],
+                np.diff(np.concatenate((first, [ci.size]))))
+        sr_of = sr[ci] if ci.size else np.zeros(0, np.int64)
+        return pa.table({
+            "clip_id": pa.array(ids[ci].tolist() if ci.size else [],
+                                type=pa.string()),
+            "chunk_idx": pa.array(chunk_idx),
+            "start_ms": pa.array(np.where(sr_of > 0,
+                                          start * 1000 // np.maximum(sr_of, 1),
+                                          0)),
+            "n_samples": pa.array(cnt),
+            "sr_hz": pa.array(sr_of.astype(np.int32)),
+            "bytes": pa.array(payload, type=pa.binary()),
+        })
+
+
+class ClipQualityStage:
+    """Per-clip curation features in one decode pass: rms, peak,
+    clipping ratio (|x| >= 0.999), duration, speech rate
+    (transcript words per second).  Emits metadata only — payload
+    bytes pass through untouched so a downstream stage can still use
+    them (column is NOT dropped here)."""
+
+    def __init__(self, quantize: int = 1 << 20):
+        self.q = quantize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        flat, lens, off = decode_flat(bts, codecs)
+        r = per_clip_rms(flat, lens, off)
+        p = per_clip_peak(flat, lens, off)
+        clip_ct = np.zeros(lens.size, np.int64)
+        if flat.size and (lens > 0).any():
+            hits = (np.abs(flat) >= 0.999).astype(np.int64)
+            clip_ct[lens > 0] = np.add.reduceat(hits, off[lens > 0])
+        dur = t["dur_ms"].to_numpy().astype(np.float64)
+        words = pa.compute.count_substring(
+            t["transcript"], " ").to_numpy().astype(np.int64) + 1
+        wps = np.where(dur > 0, words / (dur / 1000.0), 0.0)
+        res = t
+        res = res.append_column("rms_q20",
+                                pa.array(np.rint(r * self.q).astype(np.int64)))
+        res = res.append_column("peak_q20",
+                                pa.array(np.rint(p * self.q).astype(np.int64)))
+        res = res.append_column("clip_ratio_q20", pa.array(
+            np.rint(np.where(lens > 0, clip_ct / np.maximum(lens, 1), 0.0)
+                    * self.q).astype(np.int64)))
+        res = res.append_column("n_words", pa.array(words))
+        res = res.append_column("wps_q10", pa.array(
+            np.rint(wps * 1024).astype(np.int64)))
+        return res
+
+
+class PadSilenceStage:
+    """Deterministic silence padding (fixture transform): prepend /
+    append ``(offset % k) * step_ms`` of codec-native silence to every
+    clip.  The fixture corpus has no leading/trailing silence, so VAD
+    demos/benches run this first; padding is pure byte concatenation
+    (pcm16 silence = 0x0000, mu-law silence = 0x80 — decodes to
+    |x| < 0.004, far below the default VAD threshold)."""
+
+    _SILENCE = {"pcm16": b"\x00\x00", "ulaw": b"\x80"}
+
+    def __init__(self, k: int = 5, step_ms: int = 100):
+        self.k = int(k)
+        self.step_ms = int(step_ms)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bts = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        sr = t["sr_hz"].to_numpy().astype(np.int64)
+        offs = t["offset"].to_numpy().astype(np.int64)
+        pad_ms = (offs % self.k) * self.step_ms
+        pad_n = sr * pad_ms // 1000
+        out = [self._SILENCE[c] * int(n) + b + self._SILENCE[c] * int(n)
+               for b, c, n in zip(bts, codecs, pad_n)]
+        cols = {name: t[name] for name in t.schema.names}
+        cols["bytes"] = pa.array(out, type=pa.binary())
+        res = pa.table(cols)
+        return res.append_column("pad_ms", pa.array(pad_ms))
+
+
+def resample_clips(ds: rd.Dataset, sr_out: int = 16000, *,
+                   target_rms: float | None = None,
+                   concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(ResampleStage, fn_constructor_kwargs={
+        "sr_out": sr_out, "target_rms": target_rms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def vad_segment_clips(ds: rd.Dataset, *, frame_ms: int = 20,
+                      thresh: float = 0.02, concurrency=(1, 8),
+                      batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(VadSegmentStage, fn_constructor_kwargs={
+        "frame_ms": frame_ms, "thresh": thresh},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def chunk_clips(ds: rd.Dataset, *, chunk_ms: int = 250, hop_ms: int = 200,
+                concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(ChunkStage, fn_constructor_kwargs={
+        "chunk_ms": chunk_ms, "hop_ms": hop_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def curate_clips(ds: rd.Dataset, *,
+                 dur_range: tuple[int, int] = (300, 1800),
+                 rms_range: tuple[float, float] = (0.02, 0.6),
+                 max_clip_ratio: float = 0.01,
+                 wps_range: tuple[float, float] = (1.0, 30.0),
+                 quantize: int = 1 << 20) -> rd.Dataset:
+    """End-to-end audio curation: one-pass quality features ->
+    vectorized metadata filter (duration / loudness / clipping /
+    speech-rate plausibility) -> transcript exact-dedup where the
+    FIRST-ARRIVED row wins (min ``offset`` — deterministic even when a
+    re-issued clip_id carries different audio).
+
+    The quality stage and filter are fused shuffle-free map_batches
+    over the clip stream; payload bytes are dropped BEFORE the dedup
+    shuffle, so the only all-to-all moves (fingerprint, offset,
+    carry-metadata) rows.  Output: one row per surviving clip with
+    ``n_dups`` (1 + duplicates absorbed) and the winner's attributes.
+    """
+    from .dedup import exact_dedup
+
+    q = float(quantize)
+    lo_d, hi_d = dur_range
+    lo_r, hi_r = int(rms_range[0] * q), int(rms_range[1] * q)
+    max_cr = int(max_clip_ratio * q)
+    lo_w, hi_w = int(wps_range[0] * 1024), int(wps_range[1] * 1024)
+
+    feats = ds.map_batches(ClipQualityStage,
+                           fn_constructor_kwargs={"quantize": quantize},
+                           batch_format="pyarrow", batch_size=256,
+                           concurrency=(1, 8), num_cpus=1)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.and_(pc.and_(
+            pc.and_(pc.greater_equal(t["dur_ms"], lo_d),
+                    pc.less_equal(t["dur_ms"], hi_d)),
+            pc.and_(pc.greater_equal(t["rms_q20"], lo_r),
+                    pc.less_equal(t["rms_q20"], hi_r))),
+            pc.and_(pc.less_equal(t["clip_ratio_q20"], max_cr),
+                    pc.and_(pc.greater_equal(t["wps_q10"], lo_w),
+                            pc.less_equal(t["wps_q10"], hi_w))))
+        return t.filter(m).drop_columns(["bytes"])
+
+    filt = feats.map_batches(keep, batch_format="pyarrow")
+    return exact_dedup(filt, text_col="transcript", id_col="offset",
+                       carry=["clip_id", "speaker_id", "dur_ms",
+                              "n_words", "rms_q20"])
