@@ -168,6 +168,34 @@ def bench_streaming(tmpdir: str) -> dict:
             "partitions": P}
 
 
+def bench_audio_prep(tmpdir: str) -> dict:
+    """clips/sec through the batch audio-preprocessing pipeline over the
+    SAME generated clip stream the flagship uses: decode -> loudness
+    normalize -> linear resample to 16 kHz -> re-encode pcm16 ->
+    fixed-window chunking (250 ms / 200 ms hop) -> count.  Two
+    actor-pool DSP stages, zero shuffles — measures the payload axis
+    (bytes-heavy map_batches) next to the flagship's window-aggregate
+    axis."""
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.audio_prep import (chunk_clips,
+                                                         resample_clips)
+
+    gen_path = os.path.join(tmpdir, f"clips_{STREAM_CLIPS}_{STREAM_EPOCH_ROWS}_s1k_rg")
+    ds = rd.read_parquet(gen_path)
+    t0 = time.perf_counter()
+    out = chunk_clips(
+        resample_clips(ds, 16000, target_rms=0.1,
+                       concurrency=(1, NUM_CPUS), batch_size=128),
+        chunk_ms=250, hop_ms=200, concurrency=(1, NUM_CPUS),
+        batch_size=128)
+    n_chunks = out.count()
+    dt = time.perf_counter() - t0
+    return {"clips": STREAM_CLIPS, "chunks": n_chunks,
+            "sec": round(dt, 3),
+            "clips_per_sec": round(STREAM_CLIPS / dt, 1)}
+
+
 def main() -> None:
     import ray
 
@@ -218,14 +246,18 @@ def main() -> None:
         per_query["stream_join_skewed_salted"] = round(skew["salted_s"], 3)
         total += skew["unsalted_s"] + skew["salted_s"]
         ctl_after = _mem_bandwidth_gbps(8, 2.0)
+    audio_prep = bench_audio_prep(tmpdir)
+    per_query["audio_prep_pipeline"] = audio_prep["sec"]
+    total += audio_prep["sec"]
     per_query["stream_audio_spectral"] = stream["run_sec"]
 
     out = {"metric": "bench_total_sec", "value": round(total, 3), "unit": "sec",
            "queries": per_query, "sf": SF_DIR, "num_cpus": NUM_CPUS,
            "clips_per_sec": stream["clips_per_sec"],
+           "audio_prep_clips_per_sec": audio_prep["clips_per_sec"],
            "ctl_gbps_before_battery": ctl_before,
            "ctl_gbps_after_battery": ctl_after,
-           "stream": stream}
+           "stream": stream, "audio_prep": audio_prep}
     ray.shutdown()
     print(json.dumps(out))
 
