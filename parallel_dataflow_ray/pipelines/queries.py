@@ -1437,6 +1437,50 @@ def chunk_clips_q(sf_dir: str):
                                "n_samples"])
 
 
+class PlantAudioVariants:
+    """Fixture transform for the audio near-dup demo: for every clip
+    with ``offset % k == 0``, ALSO emit a re-encoded copy — gain 0.7,
+    mu-law codec, offset shifted by 100000 — the 'same recording
+    crawled twice at different quality' case a 10^12-clip corpus dedup
+    must catch."""
+
+    def __init__(self, every: int = 10):
+        self.every = int(every)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.audio import decode_clip, encode_ulaw
+
+        keep = t.to_pandas()
+        planted = keep[keep["offset"] % self.every == 0].copy()
+        planted["bytes"] = [
+            encode_ulaw(0.7 * decode_clip(b, c))
+            for b, c in zip(planted["bytes"], planted["codec"])]
+        planted["codec"] = "ulaw"
+        planted["clip_id"] = planted["clip_id"] + "-v"
+        planted["offset"] = planted["offset"] + 100_000
+        return pa.Table.from_pandas(pd.concat([keep, planted],
+                                              ignore_index=True),
+                                    preserve_index=False)
+
+
+def audio_neardup_clips_q(sf_dir: str):
+    """Near-duplicate AUDIO detection (rows-only; distributed output
+    asserted EQUAL to the brute-force (hamming-ball AND cosine-gate)
+    pair set, planted recall == 1.0 and precision == 1.0 in
+    tests/test_audio_prep.py): spectral-peak fingerprints -> the
+    sketch-agnostic 4x16-bit-band hamming LSH -> log-band-profile
+    cosine verify at 0.998 (the MinHash->Jaccard-verify shape, on
+    audio).  The fixture plants a gain-0.7 mu-law re-encode of every
+    10th clip; only 8-byte sketches + 256-byte profiles ever shuffle —
+    payload bytes never leave the decode stage."""
+    from ..stages.audio_prep import audio_neardup_pairs
+    ds = _clips_ds(300, 42).map_batches(
+        PlantAudioVariants, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4))
+    return audio_neardup_pairs(ds, id_col="offset", max_hamming=3,
+                               verify_cosine=0.998)
+
+
 def curate_clips_q(sf_dir: str):
     """The audio curation flagship composition (rows-only; differential
     vs an independent per-row brute-force twin in
@@ -1548,6 +1592,7 @@ QUERIES = {
     "vad_segments_clips": vad_segments_clips_q,
     "chunk_clips": chunk_clips_q,
     "curate_clips": curate_clips_q,
+    "audio_neardup_clips": audio_neardup_clips_q,
 }
 
 _TUMBLING_SQL = """

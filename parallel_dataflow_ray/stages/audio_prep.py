@@ -27,6 +27,7 @@ fused into one pass over a batch (design provenance, not a port).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -451,6 +452,244 @@ class ClipQualityStage:
         res = res.append_column("wps_q10", pa.array(
             np.rint(wps * 1024).astype(np.int64)))
         return res
+
+
+def stretch_to_fixed(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
+                     m: int) -> np.ndarray:
+    """Time-normalize every clip to exactly ``m`` samples (endpoint-
+    aligned linear interpolation): clip i's sample j is taken at source
+    position ``j * (n_i - 1) / (m - 1)``.  One gather+lerp over the
+    batch; returns shape ``(n_clips, m)``.  The same continuous signal
+    sampled at different rates stretches to (nearly) the same vector —
+    the sample-rate-invariance that the fingerprint builds on."""
+    n = lens.size
+    if n == 0:
+        return np.zeros((0, m), np.float32)
+    scale = np.maximum(lens - 1, 0).astype(np.float64) / max(m - 1, 1)
+    j = np.tile(np.arange(m, dtype=np.float64), n)
+    p = j * np.repeat(scale, m) + np.repeat(off, m)
+    k = np.floor(p).astype(np.int64)
+    frac = (p - k).astype(np.float32)
+    hi = np.repeat(off + np.maximum(lens - 1, 0), m)
+    k = np.minimum(k, hi)
+    k2 = np.minimum(k + 1, hi)
+    out = flat[k] * (1.0 - frac) + flat[k2] * frac
+    return out.reshape(n, m)
+
+
+_FP_NFFT = 1 << 16       # fixed zero-padded FFT length (clips truncate)
+_FP_BANDS = 64           # 64 log-spaced bands -> 64 membership bits
+_FP_LO_HZ, _FP_HI_HZ = 50.0, 3400.0   # telephony band: below every
+                                      # supported rate's Nyquist
+_FP_TOPK = 6             # bit b = 1 iff band b is among the top-6
+_FP_ROWS = 64            # FFT row-chunk: bounds the (rows, 65536) temp
+
+
+def audio_fingerprint64(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
+                        sr_hz: np.ndarray) -> np.ndarray:
+    """64-bit spectral-peak fingerprint per clip, invariant to gain and
+    robust to codec requantization and sample-rate conversion.
+
+    Every clip is zero-padded (or truncated) to a fixed 65536-sample
+    FFT; energies are summed over 64 log-spaced ABSOLUTE-frequency
+    bands (50 Hz .. 3.4 kHz — inside every supported rate's Nyquist)
+    with the Hz->bin map computed per sample rate, so the same
+    recording carried at 8 / 16 / 44.1 kHz lands in the same bands.
+    Bit b = 1 iff band b is among the clip's top-6 bands by energy —
+    top-k *membership* (rank structure) rather than adjacent-band
+    deltas, because ranks of the spectral peaks survive a -35 dB mu-law
+    noise floor or a resample's aliased noise, while near-tie
+    comparisons between noise-dominated bands are coin flips (measured:
+    gain 0, mu-law <= 2, 2x decimation <= 2 flips on the fixture
+    corpus; unrelated clips differ by >= 4).  Near-dups are pairs
+    within a small hamming distance — fed to the same 4x16-bit-band
+    LSH the text simhash uses (``stages.dedup.hamming_pairs``)."""
+    n = lens.size
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    bands = band_energies(flat, lens, off, sr_hz)
+    thresh = np.partition(bands, -_FP_TOPK, axis=1)[:, -_FP_TOPK]
+    bits = bands >= thresh[:, None]                      # (n, 64)
+    shifts = np.arange(_FP_BANDS, dtype=np.uint64)
+    return np.bitwise_or.reduce(bits.astype(np.uint64) << shifts, axis=1)
+
+
+def band_energies(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
+                  sr_hz: np.ndarray) -> np.ndarray:
+    """``(n, 64)`` absolute-Hz band-energy matrix — the shared spectral
+    front end of the fingerprint (top-k membership bits) and the verify
+    profile (log-compressed cosine).  One batched FFT per _FP_ROWS-row
+    chunk; the Hz->bin map is computed per sample rate so the same
+    recording carried at 8 / 16 / 44.1 kHz lands in the same bands."""
+    n = lens.size
+    E = np.zeros((n, _FP_BANDS), np.float32)
+    if n == 0:
+        return E
+    hz_edges = np.geomspace(_FP_LO_HZ, _FP_HI_HZ, _FP_BANDS + 1)
+    sr_hz = sr_hz.astype(np.int64)
+    for i0 in range(0, n, _FP_ROWS):
+        i1 = min(i0 + _FP_ROWS, n)
+        c = i1 - i0
+        x = np.zeros((c, _FP_NFFT), np.float32)
+        for r in range(c):
+            ln = min(int(lens[i0 + r]), _FP_NFFT)
+            x[r, :ln] = flat[off[i0 + r]:off[i0 + r] + ln]
+        spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+        for sr in np.unique(sr_hz[i0:i1]):
+            rows = np.flatnonzero(sr_hz[i0:i1] == sr)
+            # Hz -> bin; log spacing (ratio ~1.07) never collides for
+            # any supported rate (smallest first index ~74 at 44.1 kHz)
+            bins = np.rint(hz_edges * _FP_NFFT / float(sr)).astype(np.int64)
+            bins = np.minimum(bins, _FP_NFFT // 2)
+            # 65 edges -> 65 reduceat segments; drop the unbounded tail
+            # segment (> 3.4 kHz, whose content DOES depend on the rate)
+            E[i0 + rows] = np.add.reduceat(
+                spec[rows], bins, axis=1)[:, :_FP_BANDS]
+    return E
+
+
+def log_band_profile(E: np.ndarray) -> np.ndarray:
+    """L2-normalized log-compressed band profile for pair VERIFICATION
+    (the audio analog of the shingle-Jaccard verify after MinHash):
+    ``log1p(E / max(E) * 1e6)``, then unit norm.  Exactly gain-invariant
+    (the per-clip max normalization removes scale before the log).
+    Measured operating points on the synthetic tone-mixture corpus —
+    a worst case for precision, real speech/music profiles are far more
+    structured: mu-law requantization keeps cosine >= 0.998 while
+    hamming-candidate non-dup pairs stay <= 0.9954 (the default 0.998
+    gate separates them); a 2x sample-rate conversion measures
+    0.990-0.993, so rate-converted copies need ``threshold=0.99`` at
+    reduced precision on tone-like content."""
+    mx = np.maximum(E.max(axis=1, keepdims=True), np.float32(1e-30))
+    L = np.log1p(E / mx * np.float32(1e6))
+    nrm = np.maximum(np.linalg.norm(L, axis=1, keepdims=True),
+                     np.float32(1e-30))
+    return (L / nrm).astype(np.float32)
+
+
+class FingerprintStage:
+    """Actor-pool sketch stage: clips -> (id, fingerprint[, profile])
+    rows.  Payload bytes never leave the stage — only 8-byte sketches
+    (plus an optional 256-byte verify profile) shuffle into the LSH, so
+    a 10^12-clip near-dup pass moves O(rows), not O(bytes).  One decode
+    + one banded FFT per clip produces BOTH outputs."""
+
+    def __init__(self, id_col: str = "offset", profile: bool = False):
+        self.id_col = id_col
+        self.profile = profile
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, lens, off = decode_flat(t["bytes"].to_pylist(),
+                                      t["codec"].to_pylist())
+        E = band_energies(flat, lens, off,
+                          t["sr_hz"].to_numpy().astype(np.int64))
+        thresh = np.partition(E, -_FP_TOPK, axis=1)[:, -_FP_TOPK]
+        shifts = np.arange(_FP_BANDS, dtype=np.uint64)
+        fp = np.bitwise_or.reduce(
+            (E >= thresh[:, None]).astype(np.uint64) << shifts, axis=1)
+        cols = {
+            self.id_col: t[self.id_col],
+            "simhash": pa.array(fp.view(np.int64)),
+        }
+        if self.profile:
+            # fixed 256-byte little-endian f32[64] blob, NOT a nested
+            # list column: plain binary survives every pandas/arrow
+            # boundary on the join path (Ray's pandas TensorArray
+            # cannot concat the object arrays a filtered nested column
+            # produces) and is decoded zero-copy by np.frombuffer
+            buf = log_band_profile(E).astype("<f4").tobytes()
+            w = _FP_BANDS * 4
+            cols["profile"] = pa.array(
+                [buf[i * w:(i + 1) * w] for i in range(lens.size)],
+                pa.binary())
+        return pa.table(cols)
+
+
+def fingerprint_clips(ds: rd.Dataset, *, id_col: str = "offset",
+                      profile: bool = False,
+                      concurrency=(1, 8), batch_size: int = 256
+                      ) -> rd.Dataset:
+    return ds.map_batches(FingerprintStage,
+                          fn_constructor_kwargs={"id_col": id_col,
+                                                 "profile": profile},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+def verify_audio_cosine(pairs: rd.Dataset, sketches: rd.Dataset, *,
+                        threshold: float = 0.998, id_col: str = "offset",
+                        num_buckets: int = 16) -> rd.Dataset:
+    """Verify hamming-LSH candidates with the log-band-profile cosine —
+    the audio analog of ``dedup.verify_jaccard``, fully distributed:
+    the sketch table is filtered map-side to candidate rows
+    (``dedup.candidate_rows`` — the corpus profile set never shuffles),
+    then two bucket joins attach each side's 64-float profile and the
+    cosine is one vectorized einsum per batch.  The gate compares the
+    QUANTIZED value ``round(cos * 1e6) >= round(threshold * 1e6)`` so
+    the decision is batch-composition independent (profiles are
+    computed per row; the dot is a fixed-order float64 reduction)."""
+    from .dedup import candidate_rows
+    from .relational import bucket_join
+
+    pairs = pairs.materialize()
+    cd = candidate_rows(sketches, pairs, id_col=id_col,
+                        payload_cols=["profile"],
+                        num_buckets=num_buckets).materialize()
+    da = cd.map_batches(lambda b: b.rename(
+        columns={id_col: "id_a", "profile": "__pa"}), batch_format="pandas")
+    db = cd.map_batches(lambda b: b.rename(
+        columns={id_col: "id_b", "profile": "__pb"}), batch_format="pandas")
+    j = bucket_join(pairs, da, on="id_a", num_buckets=num_buckets)
+    j = bucket_join(j.materialize(), db, on="id_b", num_buckets=num_buckets)
+    thr_micro = int(round(threshold * 1e6))
+
+    def cos(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64"),
+                                 "cos_micro": pd.Series(dtype="int64")})
+        A = np.frombuffer(b"".join(b["__pa"]), "<f4") \
+            .reshape(len(b), _FP_BANDS).astype(np.float64)
+        Bm = np.frombuffer(b"".join(b["__pb"]), "<f4") \
+            .reshape(len(b), _FP_BANDS).astype(np.float64)
+        q = np.rint(np.einsum("ij,ij->i", A, Bm) * 1e6).astype(np.int64)
+        out = pd.DataFrame({"id_a": b["id_a"].to_numpy(),
+                            "id_b": b["id_b"].to_numpy(),
+                            "hamming": b["hamming"].to_numpy(),
+                            "cos_micro": q})
+        return out[out["cos_micro"] >= thr_micro]
+
+    return j.map_batches(cos, batch_format="pandas")
+
+
+def audio_neardup_pairs(ds: rd.Dataset, *, id_col: str = "offset",
+                        max_hamming: int = 3, num_buckets: int = 32,
+                        verify_cosine: float | None = None) -> rd.Dataset:
+    """Near-duplicate AUDIO detection: finds re-encoded copies of the
+    same recording (different codec / gain / sample rate) without ever
+    comparing waveforms pairwise.  Exactly the hamming-ball pair set
+    over the spectral fingerprint for ``max_hamming <= 3`` (pigeonhole
+    over the 4x16-bit bands); with ``verify_cosine`` set, candidates
+    are additionally gated on the log-band-profile cosine (sketch +
+    profile come from ONE decode pass; the sketch table — 264 B/row,
+    payload-free — is materialized once so the corpus is never decoded
+    twice; at extreme scale persist it to parquet instead)."""
+    from .dedup import hamming_pairs
+
+    sk = fingerprint_clips(ds, id_col=id_col,
+                           profile=verify_cosine is not None)
+    if verify_cosine is None:
+        return hamming_pairs(sk, id_col=id_col, hash_col="simhash",
+                             max_hamming=max_hamming,
+                             num_buckets=num_buckets)
+    sk = sk.materialize()
+    pairs = hamming_pairs(sk.select_columns([id_col, "simhash"]),
+                          id_col=id_col, hash_col="simhash",
+                          max_hamming=max_hamming, num_buckets=num_buckets)
+    return verify_audio_cosine(pairs,
+                               sk.select_columns([id_col, "profile"]),
+                               threshold=verify_cosine, id_col=id_col)
 
 
 class PadSilenceStage:

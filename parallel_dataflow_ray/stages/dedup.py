@@ -128,48 +128,43 @@ def minhash_candidates(ds: rd.Dataset, *, num_hashes=64, bands=16, shingle_k=3,
         lambda g: g.drop_duplicates(["id_a", "id_b"]))
 
 
-def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
-                   *, shingle_k=3, text_col="text", id_col="doc_id") -> rd.Dataset:
-    """Verify candidates with true shingle-Jaccard — fully distributed:
-    join the pair set against the docs table on EACH side (two hash
-    joins; the docs table is never scanned on the driver and the pairs
-    never leave the object store), then compute per-pair Jaccard inside
-    ``map_batches`` with one shingle-set per distinct doc per batch.
-    Output milli-Jaccard keeps the r1 semantics (truncation toward 0,
-    filter ``>= threshold*1000``)."""
+def candidate_rows(ds: rd.Dataset, pairs: rd.Dataset, *, id_col: str,
+                   payload_cols: list[str], num_buckets: int = 16
+                   ) -> rd.Dataset:
+    """Map-side filter of ``ds`` down to the rows named by either side
+    of a candidate-pair set — the shared front half of pair
+    verification (text shingle-Jaccard, audio profile-cosine).
+
+    Broadcast SEMI-join, driver-free: the distinct candidate-id set is
+    computed DISTRIBUTED (bucketed dedup over the pair ids) and only
+    its object-store block refs travel to the filter tasks — the
+    driver never holds the pair set (no ``pairs.to_pandas()``), and
+    the corpus payload is filtered map-side, never shuffled.
+    Semantically identical to ``bucket_join(ds, pair_ids, how="semi")``,
+    but that shape would co-shuffle the full corpus payload; this one
+    ships O(distinct candidate ids) bytes once per node instead.
+    ``pairs`` should already be materialized by the caller."""
     import ray as _ray
 
-    from .relational import bucket_join, bucketed_groupby
+    from .relational import bucketed_groupby
 
-    # materialize the (small, LSH-pruned) pair set so schema inspection
-    # and the two join passes don't re-execute the candidate pipeline
-    pairs = pairs.materialize()
-    # broadcast SEMI-join, driver-free: the distinct candidate-id set is
-    # computed DISTRIBUTED (bucketed dedup over the pair ids) and only
-    # its object-store block refs travel to the filter tasks — the
-    # driver never holds the pair set (no pairs.to_pandas()), and the
-    # corpus text is filtered map-side, never shuffled.  Semantically
-    # identical to bucket_join(docs, pair_ids, how="semi"), but that
-    # shape would co-shuffle the full corpus (id, text) payload; this
-    # one ships O(distinct candidate ids) bytes once per node instead.
     ids_ds = bucketed_groupby(
         pairs.map_batches(
             lambda b: pd.DataFrame({"__cid": np.concatenate(
                 [b["id_a"].to_numpy(), b["id_b"].to_numpy()])}),
             batch_format="pandas"),
         ["__cid"], lambda g: g.drop_duplicates("__cid"),
-        num_buckets=16).materialize()
+        num_buckets=num_buckets).materialize()
     id_block_refs = ids_ds.to_arrow_refs()
 
-    class CandidateDocs:
+    class CandidateFilter:
         """Instance-as-UDF carrying only ObjectRefs (blocks read per
         task from the local object store, zero-copy — never re-shipped
         with the function)."""
 
-        def __init__(self, out_id: str, out_text: str):
+        def __init__(self):
             self.refs = id_block_refs
             self.keep: np.ndarray | None = None
-            self.out_id, self.out_text = out_id, out_text
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             if self.keep is None:
@@ -184,19 +179,38 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
                 pos = np.minimum(np.searchsorted(self.keep, ids),
                                  self.keep.size - 1)
                 m = self.keep[pos] == ids
-            return pd.DataFrame({self.out_id: ids[m],
-                                 self.out_text: b.loc[m, text_col].to_numpy()})
+            cols = {id_col: ids[m]}
+            for c in payload_cols:
+                cols[c] = b.loc[m, c].to_numpy()
+            return pd.DataFrame(cols)
 
-    d = docs.select_columns([id_col, text_col])
+    return ds.select_columns([id_col] + list(payload_cols)).map_batches(
+        CandidateFilter(), batch_format="pandas")
+
+
+def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float,
+                   *, shingle_k=3, text_col="text", id_col="doc_id") -> rd.Dataset:
+    """Verify candidates with true shingle-Jaccard — fully distributed:
+    join the pair set against the docs table on EACH side (two hash
+    joins; the docs table is never scanned on the driver and the pairs
+    never leave the object store), then compute per-pair Jaccard inside
+    ``map_batches`` with one shingle-set per distinct doc per batch.
+    Output milli-Jaccard keeps the r1 semantics (truncation toward 0,
+    filter ``>= threshold*1000``)."""
+    from .relational import bucket_join
+
+    # materialize the (small, LSH-pruned) pair set so schema inspection
+    # and the two join passes don't re-execute the candidate pipeline
+    pairs = pairs.materialize()
     # ONE corpus scan: the filtered candidate-doc set is O(pairs) small,
     # so materialize it once and derive both join sides from it (the
     # per-side renames run over the tiny filtered set, not the corpus)
-    cd = d.map_batches(CandidateDocs("__cid", "__ct"),
-                       batch_format="pandas").materialize()
+    cd = candidate_rows(docs, pairs, id_col=id_col,
+                        payload_cols=[text_col]).materialize()
     da = cd.map_batches(lambda b: b.rename(
-        columns={"__cid": "id_a", "__ct": "__ta"}), batch_format="pandas")
+        columns={id_col: "id_a", text_col: "__ta"}), batch_format="pandas")
     db = cd.map_batches(lambda b: b.rename(
-        columns={"__cid": "id_b", "__ct": "__tb"}), batch_format="pandas")
+        columns={id_col: "id_b", text_col: "__tb"}), batch_format="pandas")
     j = bucket_join(pairs, da, on="id_a", num_buckets=16)
     j = bucket_join(j.materialize(), db, on="id_b", num_buckets=16)
     thr_milli = threshold * 1000
@@ -366,29 +380,30 @@ def _simhash_bucket_pairs(ids: np.ndarray, hs: np.ndarray,
     return outs
 
 
-def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
-                       id_col="doc_id", num_buckets: int = 32) -> rd.Dataset:
-    """documents -> verified near-dup pairs by simhash hamming distance.
+def hamming_pairs(sketches: rd.Dataset, *, id_col="doc_id",
+                  hash_col="simhash", max_hamming=3,
+                  num_buckets: int = 32) -> rd.Dataset:
+    """(id, 64-bit sketch) rows -> all pairs within ``max_hamming``.
 
     4 x 16-bit band LSH: any pair within hamming <= 3 shares a chunk
     (pigeonhole), so for ``max_hamming <= 3`` the output is EXACTLY the
     hamming-ball pair set, not an approximation.  Pair generation is a
     distributed Dataset end to end: per-bucket vectorized XOR+popcount
     (no per-pair Python), multi-band duplicates removed by a second
-    bucketed groupby — nothing returns through the driver."""
+    bucketed groupby — nothing returns through the driver.  Sketch-
+    agnostic: simhash (text) and the audio spectral fingerprint
+    (``stages.audio_prep.fingerprint_clips``) both feed this."""
     from .relational import bucketed_groupby
 
-    sketches = simhash_sketch(ds, text_col, id_col)
-
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy()
+        h = batch[hash_col].to_numpy()
         keys = simhash_band_matrix(h.astype(np.uint64), 4)     # (n, 4)
         n = len(batch)
         return pd.DataFrame({
             id_col: np.repeat(batch[id_col].to_numpy(), 4),
             "band_id": np.tile(np.arange(4, dtype=np.int64), n),
             "band_key": keys.reshape(-1),
-            "simhash": np.repeat(h, 4)})
+            hash_col: np.repeat(h, 4)})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -398,7 +413,7 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
             sub = sub.drop_duplicates(id_col).sort_values(id_col)
             outs.extend(_simhash_bucket_pairs(
                 sub[id_col].to_numpy(),
-                sub["simhash"].to_numpy().view(np.uint64), max_hamming))
+                sub[hash_col].to_numpy().view(np.uint64), max_hamming))
         if not outs:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
@@ -412,6 +427,15 @@ def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
     return bucketed_groupby(
         pairs, ["id_a", "id_b"],
         lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=16)
+
+
+def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
+                       id_col="doc_id", num_buckets: int = 32) -> rd.Dataset:
+    """documents -> near-dup pairs by simhash hamming distance (sketch
+    stage + the sketch-agnostic :func:`hamming_pairs` LSH)."""
+    return hamming_pairs(simhash_sketch(ds, text_col, id_col),
+                         id_col=id_col, hash_col="simhash",
+                         max_hamming=max_hamming, num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -285,6 +285,166 @@ def test_quality_stage_features():
 
 
 # ---------------------------------------------------------------------------
+# audio fingerprint / near-dup
+# ---------------------------------------------------------------------------
+
+def _fp_one(x, sr):
+    from parallel_dataflow_ray.stages.audio_prep import audio_fingerprint64
+    return int(audio_fingerprint64(x.astype(np.float32),
+                                   np.array([x.size]), np.array([0]),
+                                   np.array([sr]))[0])
+
+
+def _ham(a, b):
+    return bin(a ^ b).count("1")
+
+
+def test_fingerprint_invariances():
+    from parallel_dataflow_ray.functions.audio import encode_ulaw, decode_ulaw
+    for seed in range(12):
+        sr = 16000
+        x = synth_pcm(seed, sr, sr)
+        base = _fp_one(x, sr)
+        # gain: exact invariance (rank structure is scale-free)
+        assert _ham(base, _fp_one(0.5 * x, sr)) == 0
+        # mu-law requantization (~ -35 dB noise): <= 3 flips
+        xu = decode_ulaw(encode_ulaw(x))
+        assert _ham(base, _fp_one(xu, sr)) <= 3, seed
+        # 2x decimation (same recording at 8 kHz): <= 3 flips
+        assert _ham(base, _fp_one(x[::2], 8000)) <= 3, seed
+        # an unrelated clip: > 3
+        y = synth_pcm(seed + 1000, sr, sr)
+        assert _ham(base, _fp_one(y, sr)) > 3, seed
+
+
+def test_fingerprint_batch_equals_per_clip():
+    from parallel_dataflow_ray.stages.audio_prep import audio_fingerprint64
+    t, (flat, lens, off) = _flat_fixture(n=10, seed=13)
+    sr = t["sr_hz"].to_numpy().astype(np.int64)
+    batch = audio_fingerprint64(flat, lens, off, sr)
+    for i in range(10):
+        x = flat[off[i]:off[i] + lens[i]]
+        assert int(batch[i]) == _fp_one(x, int(sr[i]))
+
+
+def test_audio_neardup_exact_hamming_ball_and_recall(ray_session):
+    """Distributed pair set == brute-force hamming ball; every planted
+    re-encode pair is found."""
+    import ray.data as rd
+    from parallel_dataflow_ray.pipelines.queries import PlantAudioVariants
+    from parallel_dataflow_ray.stages.audio_prep import (
+        FingerprintStage, audio_neardup_pairs)
+
+    base = clips_table(80, seed=42)
+    planted_tbl = PlantAudioVariants(every=10)(base)
+    ds = rd.from_arrow(planted_tbl).repartition(6)
+    got = audio_neardup_pairs(ds, id_col="offset", max_hamming=3) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    # brute force over the same rows
+    sk = FingerprintStage(id_col="offset")(planted_tbl).to_pandas()
+    ids = sk["offset"].to_numpy()
+    hs = sk["simhash"].to_numpy().view(np.uint64)
+    expect = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+            if d <= 3:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                expect.append((a, b, d))
+    expect = pd.DataFrame(sorted(expect), columns=["id_a", "id_b", "hamming"])
+    pd.testing.assert_frame_equal(
+        got[["id_a", "id_b", "hamming"]].astype("int64"),
+        expect.astype("int64"))
+    # planted recall: every (offset, offset+100000) pair present
+    planted = set((int(o), int(o) + 100_000)
+                  for o in range(0, 80, 10))
+    found = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert planted <= found, planted - found
+
+
+def _prof_one(x, sr):
+    from parallel_dataflow_ray.stages.audio_prep import (band_energies,
+                                                         log_band_profile)
+    x = np.ascontiguousarray(x, np.float32)
+    return log_band_profile(band_energies(
+        x, np.array([x.size]), np.array([0]), np.array([sr])))[0]
+
+
+def test_log_profile_invariances():
+    from parallel_dataflow_ray.functions.audio import encode_ulaw, decode_ulaw
+    for seed in range(12):
+        sr = 16000
+        x = synth_pcm(seed, sr, sr)
+        p = _prof_one(x, sr).astype(np.float64)
+        # gain by a power of two: bit-exact invariance (float32 FFT is
+        # linear and the per-clip max normalization removes scale)
+        assert np.array_equal(p, _prof_one(0.5 * x, sr).astype(np.float64))
+        # mu-law requantization at gain 0.7 (the planted variant)
+        cu = float(p @ _prof_one(decode_ulaw(encode_ulaw(0.7 * x)), sr))
+        assert cu >= 0.998, (seed, cu)
+        # 2x sample-rate conversion: the documented 0.99 operating point
+        cd = float(p @ _prof_one(x[::2], 8000))
+        assert cd >= 0.99, (seed, cd)
+        # an unrelated clip stays below both gates
+        cun = float(p @ _prof_one(synth_pcm(seed + 1000, sr, sr), sr))
+        assert cun < 0.99, (seed, cun)
+
+
+def test_audio_neardup_verified_equals_bruteforce(ray_session):
+    """Distributed fingerprint->LSH->cosine-verify == brute force over
+    (hamming <= 3 AND cos_micro >= 998000), and on the planted fixture
+    that set is EXACTLY the planted re-encode pairs (recall 1.0,
+    precision 1.0 — the unverified candidate set is ~20x larger on this
+    tone-mixture corpus)."""
+    import ray.data as rd
+    from parallel_dataflow_ray.pipelines.queries import PlantAudioVariants
+    from parallel_dataflow_ray.stages.audio_prep import (
+        FingerprintStage, audio_neardup_pairs)
+
+    base = clips_table(80, seed=42)
+    planted_tbl = PlantAudioVariants(every=10)(base)
+    ds = rd.from_arrow(planted_tbl).repartition(6)
+    got = audio_neardup_pairs(ds, id_col="offset", max_hamming=3,
+                              verify_cosine=0.998) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    sk = FingerprintStage(id_col="offset", profile=True)(planted_tbl) \
+        .to_pandas()
+    ids = sk["offset"].to_numpy()
+    hs = sk["simhash"].to_numpy().view(np.uint64)
+    P = np.frombuffer(b"".join(sk["profile"]), "<f4") \
+        .reshape(len(sk), 64).astype(np.float64)
+    expect = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+            if d > 3:
+                continue
+            q = int(np.rint(float(P[i] @ P[j]) * 1e6))
+            if q >= 998000:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                expect.append((a, b, d, q))
+    expect = pd.DataFrame(sorted(expect),
+                          columns=["id_a", "id_b", "hamming", "cos_micro"])
+    pd.testing.assert_frame_equal(
+        got[["id_a", "id_b", "hamming", "cos_micro"]].astype("int64"),
+        expect.astype("int64"))
+    planted = set((int(o), int(o) + 100_000) for o in range(0, 80, 10))
+    found = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert found == planted, (planted - found, found - planted)
+
+
+def test_stretch_to_fixed_endpoints():
+    from parallel_dataflow_ray.stages.audio_prep import stretch_to_fixed
+    x = np.arange(10, dtype=np.float32)
+    out = stretch_to_fixed(x, np.array([10]), np.array([0]), 19)
+    assert out.shape == (1, 19)
+    assert out[0, 0] == 0.0 and out[0, -1] == 9.0
+    assert np.allclose(out[0], np.arange(19) * 0.5)
+
+
+# ---------------------------------------------------------------------------
 # pad silence (fixture transform)
 # ---------------------------------------------------------------------------
 
