@@ -196,6 +196,27 @@ def bench_audio_prep(tmpdir: str) -> dict:
             "clips_per_sec": round(STREAM_CLIPS / dt, 1)}
 
 
+def bench_audio_neardup(tmpdir: str) -> dict:
+    """clips/sec through the audio near-dup pass over the same
+    generated clip stream: one-decode-pass spectral fingerprint +
+    verify profile -> 4x16-bit-band hamming LSH -> log-band-profile
+    cosine verify.  Only 264 B/clip sketch rows ever shuffle — this
+    measures the sketch stage's FFT throughput plus the pair
+    machinery's fixed costs."""
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.audio_prep import audio_neardup_pairs
+
+    gen_path = os.path.join(tmpdir, f"clips_{STREAM_CLIPS}_{STREAM_EPOCH_ROWS}_s1k_rg")
+    ds = rd.read_parquet(gen_path)
+    t0 = time.perf_counter()
+    n_pairs = audio_neardup_pairs(
+        ds, id_col="offset", max_hamming=3, verify_cosine=0.998).count()
+    dt = time.perf_counter() - t0
+    return {"clips": STREAM_CLIPS, "pairs": n_pairs, "sec": round(dt, 3),
+            "clips_per_sec": round(STREAM_CLIPS / dt, 1)}
+
+
 def main() -> None:
     import ray
 
@@ -249,15 +270,20 @@ def main() -> None:
     audio_prep = bench_audio_prep(tmpdir)
     per_query["audio_prep_pipeline"] = audio_prep["sec"]
     total += audio_prep["sec"]
+    audio_nd = bench_audio_neardup(tmpdir)
+    per_query["audio_neardup_pairs"] = audio_nd["sec"]
+    total += audio_nd["sec"]
     per_query["stream_audio_spectral"] = stream["run_sec"]
 
     out = {"metric": "bench_total_sec", "value": round(total, 3), "unit": "sec",
            "queries": per_query, "sf": SF_DIR, "num_cpus": NUM_CPUS,
            "clips_per_sec": stream["clips_per_sec"],
            "audio_prep_clips_per_sec": audio_prep["clips_per_sec"],
+           "audio_neardup_clips_per_sec": audio_nd["clips_per_sec"],
            "ctl_gbps_before_battery": ctl_before,
            "ctl_gbps_after_battery": ctl_after,
-           "stream": stream, "audio_prep": audio_prep}
+           "stream": stream, "audio_prep": audio_prep,
+           "audio_neardup": audio_nd}
     ray.shutdown()
     print(json.dumps(out))
 

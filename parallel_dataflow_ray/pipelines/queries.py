@@ -612,6 +612,25 @@ def stratified_docs(sf_dir: str):
     return smp.stratified_sample(ds, "lang", 200, id_col="doc_id", seed=11)
 
 
+def split_docs(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split (zero-shuffle hash
+    labelling) -> per-(split, lang) counts; bit-exact SQL twin via the
+    same multiplicative hash."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    lab = smp.split_by_hash(ds, [("train", 800), ("val", 900),
+                                 ("test", 1000)], id_col="doc_id", seed=7)
+    return rel.grouped_sum(lab.select_columns(["split", "lang"]),
+                           ["split", "lang"], [], count_as="n_docs")
+
+
+def balanced_docs(sf_dir: str):
+    """Per-source cap rebalancing: at most 150 docs per language, the
+    smallest (hash, id) within each — over-represented languages are
+    down-sampled, small ones pass through whole."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return smp.cap_per_key(ds, "lang", 150, id_col="doc_id", seed=11)
+
+
 def curate_docs(sf_dir: str):
     """End-to-end curation pipeline — the composition a training-data
     corpus actually runs: vectorized quality features -> selective
@@ -654,29 +673,7 @@ def curate_neardup_docs(sf_dir: str):
     filtered = ds.map_batches(score_filter, batch_format="pandas")
     slim = filtered.select_columns(["doc_id", "n_tokens"]).materialize()
     pairs = dd.ngram_jaccard_pairs(filtered, threshold_milli=500)
-    labels = dd.components_labels(pairs, node_col="doc_id").materialize()
-
-    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        # one verdict row per clustered node: canonical (node ==
-        # cluster min) carries the cluster size, members carry 0
-        sz = g.groupby("cluster_id")["doc_id"].transform("size").to_numpy()
-        keep = (g["doc_id"] == g["cluster_id"]).to_numpy()
-        return pd.DataFrame({"doc_id": g["doc_id"],
-                             "n_neardups": np.where(keep, sz, 0)
-                                             .astype(np.int64)})
-
-    verdict = rel.bucketed_groupby(labels, ["cluster_id"], per_cluster,
-                                   num_buckets=16)
-    joined = rel.bucket_join(slim, verdict, on="doc_id", how="left",
-                             num_buckets=16)
-
-    def fill(b: pd.DataFrame) -> pd.DataFrame:
-        # unlabelled docs are singletons (n_neardups 1); labelled
-        # non-canonical members (0) are the near-dups being dropped
-        b = b.assign(n_neardups=b["n_neardups"].fillna(1).astype("int64"))
-        return b[b["n_neardups"] > 0]
-
-    return joined.map_batches(fill, batch_format="pandas")
+    return dd.neardup_survivors(slim, pairs, id_col="doc_id")
 
 
 def topk_users_hourly(sf_dir: str):
@@ -1481,6 +1478,22 @@ def audio_neardup_clips_q(sf_dir: str):
                                verify_cosine=0.998)
 
 
+def curate_neardup_clips_q(sf_dir: str):
+    """The fuzzy-dedup AUDIO curation flagship (rows-only; differential
+    vs an independent brute-force twin — decode-per-clip features,
+    all-pairs hamming+cosine, union-find — in tests/test_audio_prep.py):
+    one-decode-pass quality+sketch -> metadata filter -> hamming LSH ->
+    profile-cosine verify -> components -> canonical-per-cluster
+    survivors with near-dup counts.  The fixture plants a gain-0.7
+    mu-law re-encode of every 10th clip (the 'same recording crawled
+    twice' case)."""
+    from ..stages.audio_prep import curate_neardup_clips
+    ds = _clips_ds(300, 42).map_batches(
+        PlantAudioVariants, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4))
+    return curate_neardup_clips(ds)
+
+
 def curate_clips_q(sf_dir: str):
     """The audio curation flagship composition (rows-only; differential
     vs an independent per-row brute-force twin in
@@ -1539,6 +1552,8 @@ QUERIES = {
     "token_stats": token_stats,
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
+    "split_docs": split_docs,
+    "balanced_docs": balanced_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "dup_spans_docs": dup_spans_docs,
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
@@ -1592,6 +1607,7 @@ QUERIES = {
     "vad_segments_clips": vad_segments_clips_q,
     "chunk_clips": chunk_clips_q,
     "curate_clips": curate_clips_q,
+    "curate_neardup_clips": curate_neardup_clips_q,
     "audio_neardup_clips": audio_neardup_clips_q,
 }
 
@@ -1872,6 +1888,25 @@ WITH h AS (SELECT doc_id, lang,
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rn
       FROM h)
 SELECT doc_id, lang FROM r WHERE rn <= (n * 200 + 999) // 1000
+""",
+    "split_docs": """
+SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM (SELECT lang,
+             ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 7)
+             % 4294967296 % 1000 AS h
+      FROM documents)
+GROUP BY 1, 2
+""",
+    "balanced_docs": """
+WITH h AS (SELECT doc_id, lang,
+                  ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 11)
+                  % 4294967296 AS pr
+           FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rn
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= 150
 """,
     "exact_dedup_docs": """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups

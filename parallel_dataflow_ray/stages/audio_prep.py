@@ -583,26 +583,34 @@ class FingerprintStage:
                                       t["codec"].to_pylist())
         E = band_energies(flat, lens, off,
                           t["sr_hz"].to_numpy().astype(np.int64))
-        thresh = np.partition(E, -_FP_TOPK, axis=1)[:, -_FP_TOPK]
-        shifts = np.arange(_FP_BANDS, dtype=np.uint64)
-        fp = np.bitwise_or.reduce(
-            (E >= thresh[:, None]).astype(np.uint64) << shifts, axis=1)
+        fp, prof = sketch_arrays(E, profile=self.profile)
         cols = {
             self.id_col: t[self.id_col],
             "simhash": pa.array(fp.view(np.int64)),
         }
         if self.profile:
-            # fixed 256-byte little-endian f32[64] blob, NOT a nested
-            # list column: plain binary survives every pandas/arrow
-            # boundary on the join path (Ray's pandas TensorArray
-            # cannot concat the object arrays a filtered nested column
-            # produces) and is decoded zero-copy by np.frombuffer
-            buf = log_band_profile(E).astype("<f4").tobytes()
-            w = _FP_BANDS * 4
-            cols["profile"] = pa.array(
-                [buf[i * w:(i + 1) * w] for i in range(lens.size)],
-                pa.binary())
+            cols["profile"] = prof
         return pa.table(cols)
+
+
+def sketch_arrays(E: np.ndarray, *, profile: bool = False):
+    """Band-energy matrix -> (uint64 fingerprints, optional Arrow
+    binary profile column).  The profile is a fixed 256-byte
+    little-endian f32[64] blob, NOT a nested list column: plain binary
+    survives every pandas/arrow boundary on the join path (Ray's pandas
+    TensorArray cannot concat the object arrays a filtered nested
+    column produces) and is decoded zero-copy by ``np.frombuffer``."""
+    thresh = np.partition(E, -_FP_TOPK, axis=1)[:, -_FP_TOPK]
+    shifts = np.arange(_FP_BANDS, dtype=np.uint64)
+    fp = np.bitwise_or.reduce(
+        (E >= thresh[:, None]).astype(np.uint64) << shifts, axis=1)
+    if not profile:
+        return fp, None
+    buf = log_band_profile(E).astype("<f4").tobytes()
+    w = _FP_BANDS * 4
+    prof = pa.array([buf[i * w:(i + 1) * w] for i in range(E.shape[0])],
+                    pa.binary())
+    return fp, prof
 
 
 def fingerprint_clips(ds: rd.Dataset, *, id_col: str = "offset",
@@ -690,6 +698,107 @@ def audio_neardup_pairs(ds: rd.Dataset, *, id_col: str = "offset",
     return verify_audio_cosine(pairs,
                                sk.select_columns([id_col, "profile"]),
                                threshold=verify_cosine, id_col=id_col)
+
+
+class CurateSketchStage:
+    """Fused curation front end: ONE decode pass per clip produces BOTH
+    the quality features (rms / clipping ratio / speech rate — the
+    ``ClipQualityStage`` set) AND the near-dup sketch (64-bit spectral
+    fingerprint + 256-byte verify profile).  Payload bytes are dropped
+    HERE, before any shuffle — the whole fuzzy-dedup curation
+    composition decodes the corpus exactly once and everything
+    downstream moves metadata-sized rows."""
+
+    def __init__(self, quantize: int = 1 << 20):
+        self.q = quantize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, lens, off = decode_flat(t["bytes"].to_pylist(),
+                                      t["codec"].to_pylist())
+        r = per_clip_rms(flat, lens, off)
+        clip_ct = np.zeros(lens.size, np.int64)
+        if flat.size and (lens > 0).any():
+            hits = (np.abs(flat) >= 0.999).astype(np.int64)
+            clip_ct[lens > 0] = np.add.reduceat(hits, off[lens > 0])
+        dur = t["dur_ms"].to_numpy().astype(np.float64)
+        words = pa.compute.count_substring(
+            t["transcript"], " ").to_numpy().astype(np.int64) + 1
+        wps = np.where(dur > 0, words / (dur / 1000.0), 0.0)
+        E = band_energies(flat, lens, off,
+                          t["sr_hz"].to_numpy().astype(np.int64))
+        fp, prof = sketch_arrays(E, profile=True)
+        return pa.table({
+            "offset": t["offset"],
+            "clip_id": t["clip_id"],
+            "speaker_id": t["speaker_id"],
+            "dur_ms": t["dur_ms"],
+            "n_words": pa.array(words),
+            "rms_q20": pa.array(np.rint(r * self.q).astype(np.int64)),
+            "clip_ratio_q20": pa.array(
+                np.rint(np.where(lens > 0, clip_ct / np.maximum(lens, 1),
+                                 0.0) * self.q).astype(np.int64)),
+            "wps_q10": pa.array(np.rint(wps * 1024).astype(np.int64)),
+            "simhash": pa.array(fp.view(np.int64)),
+            "profile": prof,
+        })
+
+
+def curate_neardup_clips(ds: rd.Dataset, *,
+                         dur_range: tuple[int, int] = (300, 1800),
+                         rms_range: tuple[float, float] = (0.02, 0.6),
+                         max_clip_ratio: float = 0.01,
+                         wps_range: tuple[float, float] = (1.0, 30.0),
+                         max_hamming: int = 3,
+                         verify_cosine: float = 0.998,
+                         quantize: int = 1 << 20,
+                         num_buckets: int = 32) -> rd.Dataset:
+    """The fuzzy-dedup audio curation flagship — the audio analog of
+    ``pipelines.queries.curate_neardup_docs``: one-decode-pass quality
+    features + spectral sketch -> vectorized metadata filter ->
+    hamming-LSH candidate pairs -> log-band-profile cosine verify ->
+    min-label components -> keep the canonical (first-arrived, min
+    ``offset``) clip per near-dup cluster with ``n_neardups`` counts.
+
+    Scale shape: clip bytes are decoded once and never shuffle; the
+    LSH, verify, components and survivor join all move sketch- or
+    pair-sized rows.  Near-dup semantics: same recording re-encoded
+    (gain / mu-law / re-crawl) — the planted-variant fixture in
+    tests/test_audio_prep.py measures recall 1.0 / precision 1.0."""
+    from .dedup import hamming_pairs, neardup_survivors
+
+    q = float(quantize)
+    lo_d, hi_d = dur_range
+    lo_r, hi_r = int(rms_range[0] * q), int(rms_range[1] * q)
+    max_cr = int(max_clip_ratio * q)
+    lo_w, hi_w = int(wps_range[0] * 1024), int(wps_range[1] * 1024)
+
+    feats = ds.map_batches(CurateSketchStage,
+                           fn_constructor_kwargs={"quantize": quantize},
+                           batch_format="pyarrow", batch_size=128,
+                           concurrency=(1, 8), num_cpus=1)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.and_(pc.and_(
+            pc.and_(pc.greater_equal(t["dur_ms"], lo_d),
+                    pc.less_equal(t["dur_ms"], hi_d)),
+            pc.and_(pc.greater_equal(t["rms_q20"], lo_r),
+                    pc.less_equal(t["rms_q20"], hi_r))),
+            pc.and_(pc.less_equal(t["clip_ratio_q20"], max_cr),
+                    pc.and_(pc.greater_equal(t["wps_q10"], lo_w),
+                            pc.less_equal(t["wps_q10"], hi_w))))
+        return t.filter(m)
+
+    filt = feats.map_batches(keep, batch_format="pyarrow").materialize()
+    pairs = hamming_pairs(filt.select_columns(["offset", "simhash"]),
+                          id_col="offset", hash_col="simhash",
+                          max_hamming=max_hamming, num_buckets=num_buckets)
+    verified = verify_audio_cosine(
+        pairs, filt.select_columns(["offset", "profile"]),
+        threshold=verify_cosine, id_col="offset")
+    slim = filt.drop_columns(["simhash", "profile"])
+    return neardup_survivors(slim, verified.select_columns(["id_a", "id_b"]),
+                             id_col="offset")
 
 
 class PadSilenceStage:

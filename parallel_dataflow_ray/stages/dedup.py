@@ -316,6 +316,42 @@ def components_labels(pairs: rd.Dataset, *, id_a: str = "id_a",
         batch_format="pandas")
 
 
+def neardup_survivors(slim: rd.Dataset, pairs: rd.Dataset, *,
+                      id_col: str, num_buckets: int = 16) -> rd.Dataset:
+    """Shared back half of every fuzzy-dedup curation composition
+    (text ``curate_neardup_docs``, audio ``curate_neardup_clips``):
+    verified near-dup pairs -> min-label components -> keep only the
+    canonical (min-id) row per cluster, annotated with ``n_neardups``
+    (cluster size; 1 for rows in no cluster).  ``slim`` is the
+    metadata-only survivor-candidate table (payload already dropped);
+    only labels and O(pairs) rows shuffle here."""
+    from .relational import bucket_join, bucketed_groupby
+
+    labels = components_labels(pairs, node_col=id_col).materialize()
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        # one verdict row per clustered node: canonical (node ==
+        # cluster min) carries the cluster size, members carry 0
+        sz = g.groupby("cluster_id")[id_col].transform("size").to_numpy()
+        keep = (g[id_col] == g["cluster_id"]).to_numpy()
+        return pd.DataFrame({id_col: g[id_col],
+                             "n_neardups": np.where(keep, sz, 0)
+                                             .astype(np.int64)})
+
+    verdict = bucketed_groupby(labels, ["cluster_id"], per_cluster,
+                               num_buckets=num_buckets)
+    joined = bucket_join(slim, verdict, on=id_col, how="left",
+                         num_buckets=num_buckets)
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        # unlabelled rows are singletons (n_neardups 1); labelled
+        # non-canonical members (0) are the near-dups being dropped
+        b = b.assign(n_neardups=b["n_neardups"].fillna(1).astype("int64"))
+        return b[b["n_neardups"] > 0]
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     """Min-label union-find on the (small, verified) pair set -> cluster
     representative per id.  Driver-side twin of

@@ -80,3 +80,47 @@ def stratified_sample(ds: rd.Dataset, key: str, frac_milli: int, *,
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_groupby(ds, [key], per_key)
+
+
+def split_by_hash(ds: rd.Dataset, bounds: list[tuple[str, int]], *,
+                  id_col: str, seed: int = 0) -> rd.Dataset:
+    """Deterministic train/val/test split labelling: row goes to the
+    first bucket whose upper bound (in 1/1000ths, cumulative) exceeds
+    ``h(id) % 1000`` — e.g. ``[("train", 800), ("val", 900),
+    ("test", 1000)]`` is an 80/10/10 split.  Pure map, zero shuffle,
+    and exactly reproducible: a retried task, a different cluster size,
+    or a later incremental run labels every row identically — the
+    property that keeps eval rows out of the training set forever."""
+    names = np.array([n for n, _ in bounds], dtype=object)
+    uppers = np.array([u for _, u in bounds], dtype=np.int64)
+    if uppers[-1] != 1000:
+        raise ValueError("split bounds must be cumulative and end at 1000")
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        h = (mult_hash(b[id_col].to_numpy(), seed)
+             % np.uint64(1000)).astype(np.int64)
+        b = b.copy()
+        b["split"] = names[np.searchsorted(uppers, h, side="right")]
+        return b
+
+    return ds.map_batches(lab, batch_format="pandas")
+
+
+def cap_per_key(ds: rd.Dataset, key: str, k: int, *, id_col: str,
+                seed: int = 0) -> rd.Dataset:
+    """Per-source cap rebalancing (the data-mixing half of sampling):
+    keep at most ``k`` rows per key — the smallest (hash, id) within
+    each — so over-represented sources are down-sampled
+    deterministically while small sources pass through whole.  One
+    bucketed shuffle on the key; the per-bucket kernel is one mergesort
+    + cumcount (no per-stratum Python loop)."""
+    from .relational import bucketed_groupby
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        pri = mult_hash(g[id_col].to_numpy(), seed).astype(np.int64)
+        g = g.assign(__pri=pri).sort_values([key, "__pri", id_col],
+                                            kind="mergesort")
+        rank = g.groupby(key, sort=False).cumcount().to_numpy()
+        return g[rank < k].drop(columns="__pri")
+
+    return bucketed_groupby(ds, [key], per_key)

@@ -435,6 +435,93 @@ def test_audio_neardup_verified_equals_bruteforce(ray_session):
     assert found == planted, (planted - found, found - planted)
 
 
+def test_curate_neardup_clips_vs_bruteforce(ray_session):
+    """The full fuzzy-dedup audio composition vs an independent per-row
+    twin: decode-per-clip quality features, the same quantized filter,
+    all-pairs (hamming <= 3 AND cos_micro >= 998000), union-find,
+    min-offset canonical survivors with cluster sizes."""
+    import ray.data as rd
+    from parallel_dataflow_ray.functions.audio import decode_clip
+    from parallel_dataflow_ray.pipelines.queries import PlantAudioVariants
+    from parallel_dataflow_ray.stages.audio_prep import (
+        band_energies, curate_neardup_clips, log_band_profile,
+        sketch_arrays)
+
+    base = clips_table(90, seed=42)
+    planted_tbl = PlantAudioVariants(every=10)(base)
+    ds = rd.from_arrow(planted_tbl).repartition(6)
+    got = curate_neardup_clips(ds).to_pandas() \
+        .sort_values("offset").reset_index(drop=True)
+
+    # --- independent twin, one clip at a time ---------------------------
+    df = planted_tbl.to_pandas()
+    q = float(1 << 20)
+    feats = []
+    for r in df.itertuples():
+        x = decode_clip(r.bytes, r.codec)
+        rms = float(np.sqrt(np.mean(x.astype(np.float64) ** 2))) if x.size else 0.0
+        cr = float(np.mean(np.abs(x) >= 0.999)) if x.size else 0.0
+        words = r.transcript.count(" ") + 1
+        wps = words / (r.dur_ms / 1000.0) if r.dur_ms > 0 else 0.0
+        E = band_energies(np.ascontiguousarray(x, np.float32),
+                          np.array([x.size]), np.array([0]),
+                          np.array([r.sr_hz]))
+        fp, _ = sketch_arrays(E)
+        feats.append({
+            "offset": int(r.offset),
+            "dur_ms": int(r.dur_ms),
+            "rms_q20": int(np.rint(rms * q)),
+            "clip_ratio_q20": int(np.rint(cr * q)),
+            "wps_q10": int(np.rint(wps * 1024)),
+            "fp": int(fp[0]),
+            "prof": log_band_profile(E)[0].astype(np.float64),
+        })
+    fdf = pd.DataFrame(feats)
+    keep = ((fdf["dur_ms"].between(300, 1800))
+            & (fdf["rms_q20"].between(int(0.02 * q), int(0.6 * q)))
+            & (fdf["clip_ratio_q20"] <= int(0.01 * q))
+            & (fdf["wps_q10"].between(1 * 1024, 30 * 1024)))
+    kept = fdf[keep].reset_index(drop=True)
+    assert len(kept) > 60            # the fixture mostly passes the gates
+
+    parent = {int(o): int(o) for o in kept["offset"]}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    n_pairs = 0
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            d = bin(kept["fp"][i] ^ kept["fp"][j]).count("1")
+            if d > 3:
+                continue
+            cm = int(np.rint(float(kept["prof"][i] @ kept["prof"][j]) * 1e6))
+            if cm >= 998000:
+                n_pairs += 1
+                ra, rb = find(int(kept["offset"][i])), find(int(kept["offset"][j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    assert n_pairs > 0               # planted variants survive the filter
+    roots = {o: find(o) for o in parent}
+    sizes = pd.Series(list(roots.values())).value_counts().to_dict()
+    expect = {o: (sizes[r] if sizes[r] > 1 else 1)
+              for o, r in roots.items() if r == o}  # canonical rows only
+
+    assert dict(zip(got["offset"].astype(int),
+                    got["n_neardups"].astype(int))) == expect
+    # winner metadata rides through: spot-check one planted cluster
+    planted_roots = [o for o, n in expect.items()
+                     if n == 2 and o + 100_000 in roots]
+    assert planted_roots
+    row = got[got["offset"] == planted_roots[0]].iloc[0]
+    src = df[df["offset"] == planted_roots[0]].iloc[0]
+    assert row["clip_id"] == src["clip_id"]
+    assert row["speaker_id"] == src["speaker_id"]
+
+
 def test_stretch_to_fixed_endpoints():
     from parallel_dataflow_ray.stages.audio_prep import stretch_to_fixed
     x = np.arange(10, dtype=np.float32)
