@@ -1350,6 +1350,54 @@ def decontaminate_docs(sf_dir: str):
     return dd.contamination(train, bench, shingle_k=3)
 
 
+def decontaminate_docs_bloom(sf_dir: str):
+    """The Bloom-prefiltered scale path of :func:`decontaminate_docs` —
+    identical split, identical output (same SQL twin): a broadcast
+    1 MB Bloom mask over the bench shingles drops definite non-member
+    train shingles BEFORE the shuffle; survivors re-verify through the
+    same exact semi join, so false positives cost work, never rows."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mod = np.asarray(t["doc_id"]) % 20
+            m = pa.array(mod == 0 if is_bench else mod != 0)
+            return t.filter(m)
+        return f
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    return dd.contamination_bloom(train, bench, shingle_k=3)
+
+
+def dedup_incremental_docs(sf_dir: str):
+    """Incremental ingest dedup: a synthetic 're-crawl shard' —
+    corpus docs replayed under new ids (doc_id%7==0, exact text
+    copies: must all drop), genuinely-new docs (doc_id%7==1, text
+    suffixed ' v2': must survive), plus within-shard duplicates of the
+    new docs (doc_id%14==1 replayed again: survivor carries n_dups=2)
+    — deduped against the full documents corpus via the anti
+    fingerprint join.  SQL twin: NOT EXISTS + GROUP BY text."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shard(b: pd.DataFrame) -> pd.DataFrame:
+        m0 = b["doc_id"] % 7 == 0
+        m1 = b["doc_id"] % 7 == 1
+        m2 = b["doc_id"] % 14 == 1
+        parts = [
+            pd.DataFrame({"doc_id": b.loc[m0, "doc_id"] + 100000,
+                          "text": b.loc[m0, "text"]}),
+            pd.DataFrame({"doc_id": b.loc[m1, "doc_id"] + 200000,
+                          "text": b.loc[m1, "text"] + " v2"}),
+            pd.DataFrame({"doc_id": b.loc[m2, "doc_id"] + 300000,
+                          "text": b.loc[m2, "text"] + " v2"}),
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    new = docs.map_batches(shard, batch_format="pandas")
+    return dd.dedup_against_corpus(new, docs)
+
+
 PACK_CAPACITY = 2048
 
 
@@ -1571,6 +1619,8 @@ QUERIES = {
     "heavy_bigrams": heavy_bigrams,
     "pack_token_shards": pack_token_shards,
     "decontaminate_docs": decontaminate_docs,
+    "decontaminate_docs_bloom": decontaminate_docs_bloom,
+    "dedup_incremental_docs": dedup_incremental_docs,
     # last oracle-gated entries: shapes already driver-green in rounds
     # 1-2 (the tumbling/sliding batch twins hash-matched in r02; their
     # stream_ engine variants above re-cover the semantics) — if the
@@ -2162,6 +2212,38 @@ train AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 0)
 SELECT CAST(t.doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_shared
 FROM train t JOIN bench b USING (g)
 GROUP BY t.doc_id
+""",
+    # the Bloom path is output-identical to the exact path by
+    # construction (no false negatives + exact re-verification), so it
+    # shares the twin verbatim
+    "decontaminate_docs_bloom": r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 <> 0)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_shared
+FROM train t JOIN bench b USING (g)
+GROUP BY t.doc_id
+""",
+    "dedup_incremental_docs": """
+WITH newd AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' v2' FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 300000, text || ' v2' FROM documents WHERE doc_id % 14 = 1
+),
+fresh AS (SELECT n.doc_id, n.text FROM newd n
+          WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = n.text))
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM fresh GROUP BY text
 """,
     "pack_token_shards": f"""
 WITH d AS (SELECT doc_id,

@@ -630,6 +630,105 @@ def contamination(train: rd.Dataset, bench: rd.Dataset, *,
                        [id_col], ["n_shared"])
 
 
+def contamination_bloom(train: rd.Dataset, bench: rd.Dataset, *,
+                        shingle_k: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id", num_buckets: int = 64,
+                        m_bits: int = 1 << 23, k_hashes: int = 4
+                        ) -> rd.Dataset:
+    """Scale path for :func:`contamination`, identical output: a
+    broadcast Bloom filter over the bench shingle hashes pre-filters
+    the train side BEFORE anything crosses the shuffle, then the
+    survivors are re-verified by the same exact semi join.
+
+    Why this matters at 100 TB: the exact path shuffles EVERY train
+    shingle (one (hash, doc_id) row per distinct shingle per doc) just
+    to discard ~all of them at the semi join — the shuffle is sized by
+    the corpus.  The Bloom mask (1 MB at the default m=2^23, built
+    distributed and OR-merged, ``ray.put`` once and read zero-copy in
+    every probe task) drops definite non-members map-side, so the
+    shuffle is sized by contamination + the false-positive rate
+    (~(1-e^{-kn/m})^k, default <1e-3 for eval suites up to ~1M distinct
+    shingles).  No false negatives, and false positives only cost work
+    — the exact semi join makes the output bit-identical to
+    :func:`contamination` (asserted in tests and by sharing its DuckDB
+    twin)."""
+    import ray as _ray
+
+    from .relational import bucket_join, grouped_sum
+    from .sketches import bloom_build, bloom_probe_mask
+
+    def shingles(ds: rd.Dataset) -> rd.Dataset:
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _ngram_explode_fn(text_col, id_col, shingle_k),
+            batch_format="pandas", batch_size=1024)
+
+    bench_sh = shingles(bench)
+    bloom_ref = _ray.put(bloom_build(bench_sh, "__g",
+                                     m_bits=m_bits, k=k_hashes))
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bm = _ray.get(bloom_ref)  # zero-copy object-store read per task
+        mask = bloom_probe_mask(b["__g"].to_numpy(np.int64), bm,
+                                m_bits, k_hashes)
+        return b[mask]
+
+    cand = shingles(train).map_batches(probe, batch_format="pandas",
+                                       batch_size=4096)
+    hits = bucket_join(cand, bench_sh, on="__g", how="semi",
+                       num_buckets=num_buckets)
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b[id_col],
+                             "n_shared": np.ones(len(b), dtype=np.int64)})
+
+    return grouped_sum(hits.map_batches(ones, batch_format="pandas"),
+                       [id_col], ["n_shared"])
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup: new shard vs existing corpus
+# ---------------------------------------------------------------------------
+
+def dedup_against_corpus(new: rd.Dataset, corpus: rd.Dataset, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = 32) -> rd.Dataset:
+    """Incremental exact dedup — the production ingest shape (a fresh
+    crawl shard arriving against an already-curated corpus): drop every
+    new doc whose exact text already exists in the corpus (anti join on
+    the 8-byte SipHash fingerprint; only the corpus's DISTINCT
+    fingerprints cross the shuffle, never its text), then exact-dedup
+    WITHIN the shard (smallest id wins, duplicate count carried).
+    Output: (doc_id, n_dups) of the surviving new docs.
+
+    Reference analog: the kill-set invalidation in ReachingDefs
+    (passes/src/reaching_defs.rs:38-60) — membership in an existing
+    definition set suppresses re-emission; here membership in the
+    corpus fingerprint set suppresses ingest."""
+    from .relational import bucket_join, bucketed_groupby
+
+    def fp_with_id(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b[id_col],
+                             "__fp": fingerprint64(b[text_col])})
+
+    def fp_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__fp": fingerprint64(b[text_col])})
+
+    fresh = bucket_join(new.map_batches(fp_with_id, batch_format="pandas"),
+                        corpus.map_batches(fp_only, batch_format="pandas"),
+                        on="__fp", how="anti", num_buckets=num_buckets)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        win = g.drop_duplicates("__fp", keep="first")
+        sz = g.groupby("__fp", sort=False).size()
+        out = win.copy()
+        out["n_dups"] = sz.loc[win["__fp"]].to_numpy(np.int64)
+        return out[[id_col, "n_dups"]]
+
+    return bucketed_groupby(fresh, ["__fp"], keep_first,
+                            num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # exact duplicated-substring spans (Lee et al. 2022, exact-substring half)
 # ---------------------------------------------------------------------------

@@ -417,3 +417,79 @@ def explode_bigrams(b: pd.DataFrame, text_col: str = "text") -> pd.Series:
     left = pd.Series(w[:-1][valid], dtype=object)
     right = pd.Series(w[1:][valid], dtype=object)
     return left.str.cat(right, sep=" ")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable bit-set membership sketch — the broadcast
+# pre-filter for existence probes whose build side is small relative to
+# the probe side (an eval suite's shingles probing a 100 TB training
+# corpus).  Same partial+final shape as HLL above: the per-batch
+# partial is an m-bit bitmap, merge is bitwise OR (associative,
+# commutative, idempotent — replay/fold-order safe).  No false
+# negatives ever; false-positive rate ~= (1 - e^{-kn/m})^k.
+# ---------------------------------------------------------------------------
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions per uint64 hash, Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i * h2) mod m with h2 forced odd.  Inputs are
+    already high-quality 64-bit hashes (SipHash fingerprints), so no
+    re-hash pass is needed."""
+    h = np.asarray(h, dtype=np.uint64)
+    m = np.uint64(m_bits)
+    h1 = h % m
+    h2 = (((h >> np.uint64(33)) ^ (h * _BLOOM_MIX)) | np.uint64(1)) % m
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    # h1 < m, i * h2 < k * m: far below 2^64 for any sane (m, k)
+    return (h1[None, :] + i * h2) % m
+
+
+def bloom_partial(values: np.ndarray, m_bits: int = 1 << 23,
+                  k: int = 4) -> np.ndarray:
+    """uint8[m_bits/8] bitmap partial for one batch of int64/uint64
+    hash values."""
+    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+    v = np.asarray(values)
+    if v.size:
+        pos = _bloom_positions(v.view(np.uint64), m_bits, k).ravel()
+        np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1),
+                                       (pos & np.uint64(7)).astype(np.uint8)))
+    return bm
+
+
+def bloom_build(ds: rd.Dataset, col: str, *, m_bits: int = 1 << 23,
+                k: int = 4) -> np.ndarray:
+    """Distributed Bloom build over ``ds[col]`` (int64 hash column):
+    one bitmap partial per batch, OR-merged on the driver.  Driver
+    memory is O(#batches x m/8) transiently and O(m/8) after the
+    reduce — by contract the BUILD side is the small side (the caller
+    broadcasts the result), so this is bounded the way HLL's register
+    partials are, not by the probe corpus."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bm = bloom_partial(b[col].to_numpy(np.int64), m_bits, k)
+        return pd.DataFrame({"__bloom": [bm.tobytes()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536).take_all()
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        np.bitwise_or(out, np.frombuffer(r["__bloom"], dtype=np.uint8),
+                      out=out)
+    return out
+
+
+def bloom_probe_mask(values: np.ndarray, bitmap: np.ndarray,
+                     m_bits: int, k: int) -> np.ndarray:
+    """bool[n] membership mask (True = possibly present; False =
+    definitely absent) — one vectorized gather per hash function."""
+    v = np.asarray(values)
+    if v.size == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(v.view(np.uint64), m_bits, k)
+    byte = bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+    return bit.all(axis=0)

@@ -200,3 +200,46 @@ def test_scrub_dup_spans_consistent_with_stats(ray_session):
              + scrub.set_index("doc_id")["n_removed_tokens"]).sort_index()
     pd.testing.assert_series_equal(total, orig_tokens.sort_index(),
                                    check_names=False)
+
+
+def test_dedup_against_corpus_bruteforce_parity():
+    """Incremental ingest dedup == driver-local brute force: corpus
+    copies drop, fresh docs survive, within-shard dups collapse to the
+    min id with the right n_dups."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.dedup import dedup_against_corpus
+
+    rng = np.random.default_rng(3)
+    corpus_texts = [f"doc body {i} {rng.integers(1e6)}" for i in range(80)]
+    new_rows = []
+    nid = 1000
+    for i in range(120):
+        r = rng.random()
+        if r < 0.3:                     # exact corpus copy -> must drop
+            t = corpus_texts[int(rng.integers(80))]
+        elif r < 0.5:                   # within-shard dup family
+            t = f"fresh dup family {int(rng.integers(10))}"
+        else:                           # unique fresh doc
+            t = f"fresh unique {i}"
+        new_rows.append((nid + i, t))
+    new_df = pd.DataFrame(new_rows, columns=["doc_id", "text"])
+    corpus_df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                              "text": corpus_texts})
+
+    got = dedup_against_corpus(
+        rd.from_pandas(new_df), rd.from_pandas(corpus_df)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    cset = set(corpus_texts)
+    fresh = new_df[~new_df["text"].isin(cset)]
+    want = (fresh.groupby("text", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index(drop=True)
+            .sort_values("doc_id").reset_index(drop=True).astype("int64"))
+    pd.testing.assert_frame_equal(got[["doc_id", "n_dups"]].astype("int64"),
+                                  want[["doc_id", "n_dups"]])
+    assert (got["n_dups"] > 1).any()          # within-shard dups exercised
+    assert len(got) < len(new_df)             # corpus copies dropped

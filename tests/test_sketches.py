@@ -257,3 +257,75 @@ def test_quantile_hist_relative_error_bound():
         exact = srt[int(np.ceil(q * len(srt))) - 1]  # percentile_disc
         got = row[f"p{int(q * 100)}_micro"] / 1e6
         assert abs(got - exact) <= alpha * exact * 1.0001, (q, got, exact)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpr_bound():
+    from parallel_dataflow_ray.stages.sketches import (bloom_partial,
+                                                       bloom_probe_mask)
+
+    rng = np.random.default_rng(0)
+    m, k = 1 << 17, 4
+    members = rng.integers(-2**63, 2**63 - 1, 5000, dtype=np.int64)
+    outsiders = np.setdiff1d(
+        rng.integers(-2**63, 2**63 - 1, 50_000, dtype=np.int64), members)
+    bm = bloom_partial(members, m, k)
+    # no false negatives, ever
+    assert bloom_probe_mask(members, bm, m, k).all()
+    # FPR within 5x of (1 - e^{-kn/m})^k  (theory ~4e-4 here)
+    theory = (1 - np.exp(-k * len(members) / m)) ** k
+    assert bloom_probe_mask(outsiders, bm, m, k).mean() <= 5 * theory
+
+
+def test_bloom_merge_is_union():
+    from parallel_dataflow_ray.stages.sketches import bloom_partial
+
+    rng = np.random.default_rng(1)
+    m, k = 1 << 14, 4
+    vals = rng.integers(-2**63, 2**63 - 1, 4000, dtype=np.int64)
+    whole = bloom_partial(vals, m, k)
+    # any split of the input ORs back to the single-pass bitmap
+    for parts in (2, 7, 64):
+        merged = np.zeros_like(whole)
+        for chunk in np.array_split(vals, parts):
+            np.bitwise_or(merged, bloom_partial(chunk, m, k), out=merged)
+        assert np.array_equal(merged, whole)
+
+
+def test_contamination_bloom_matches_exact():
+    """The Bloom scale path is output-identical to the exact semi-join
+    path (no false negatives + exact re-verification) on a corpus with
+    planted contamination."""
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.dedup import (contamination,
+                                                    contamination_bloom)
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    bench_texts = [" ".join(rng.choice(words, 12)) for _ in range(20)]
+    train_texts = [" ".join(rng.choice(words, 30)) for _ in range(150)]
+    # plant contamination: splice a bench trigram into some train docs
+    for i in range(0, 150, 7):
+        src = bench_texts[i % len(bench_texts)].split()
+        train_texts[i] = train_texts[i] + " " + " ".join(src[3:6])
+    train = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(150, dtype=np.int64), "text": train_texts}))
+    bench = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(1000, 1020, dtype=np.int64),
+         "text": bench_texts}))
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df[["doc_id", "n_shared"]].astype("int64")
+
+    exact = canon(contamination(train, bench, shingle_k=3))
+    # a deliberately TINY filter (high FPR) still yields identical rows
+    bloom = canon(contamination_bloom(train, bench, shingle_k=3,
+                                      m_bits=1 << 12, k_hashes=2))
+    assert len(exact) > 0
+    pd.testing.assert_frame_equal(exact, bloom)
