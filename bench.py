@@ -47,7 +47,9 @@ BATCH_QUERIES = [
     "kleene_funnel_events", "stream_kleene_events",
     "stream_topk_event_types", "stream_quantile_durations",
     "pack_token_shards",
-    "decontaminate_docs", "kmeans_embeddings",
+    "decontaminate_docs", "decontaminate_docs_bloom",
+    "dedup_incremental_docs", "chunk_docs", "source_mixture",
+    "augment_clips", "kmeans_embeddings",
 ]
 
 

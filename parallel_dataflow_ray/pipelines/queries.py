@@ -1398,6 +1398,44 @@ def dedup_incremental_docs(sf_dir: str):
     return dd.dedup_against_corpus(new, docs)
 
 
+CHUNK_WINDOW, CHUNK_HOP = 128, 64
+
+
+def chunk_docs(sf_dir: str):
+    """Fixed-window token chunking with overlap (128-token windows
+    every 64) — the map-only text analog of audio chunking and the
+    doc-preserving alternative to pack_token_shards.  SQL twin:
+    generate_series starts + array slice."""
+    from ..stages import packing
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return packing.chunk_docs(docs, window=CHUNK_WINDOW, hop=CHUNK_HOP)
+
+
+def source_mixture(sf_dir: str):
+    """Data-mixture accounting: docs and whitespace tokens per source
+    plus each source's token share in parts-per-million — the weight
+    table a mixture sampler consumes.  One partial+final shuffle of
+    (source, n_docs, n_tokens) partials; the ppm division runs on the
+    tiny grouped result with exact integer math (floor), so the
+    distributed answer is bit-identical to the SQL twin."""
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "n_docs": np.ones(len(b), dtype=np.int64),
+            "n_tokens": b["text"].fillna("").str.count(" ")
+                        .astype("int64") + 1})
+
+    g = rel.grouped_sum(docs.map_batches(stats, batch_format="pandas"),
+                        ["source"], ["n_docs", "n_tokens"]).to_pandas()
+    total = int(g["n_tokens"].sum())
+    g["token_ppm"] = (g["n_tokens"].astype("int64") * 1_000_000
+                      // total).astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
+
+
 PACK_CAPACITY = 2048
 
 
@@ -1456,6 +1494,19 @@ def resample_clips_q(sf_dir: str):
     from ..stages.audio_prep import resample_clips
     out = resample_clips(_clips_ds(400, 42), 16000, concurrency=(1, 4))
     return out.select_columns(["clip_id", "dur_ms", "n_samples", "rms_q20"])
+
+
+def augment_clips_q(sf_dir: str):
+    """Deterministic audio augmentation (speed perturb + peak-capped
+    gain perturb + counter-based noise at a target SNR) — the
+    training-data expansion op.  Rows-only (DSP has no SQL twin);
+    batch-invariance, length law, gain/SNR accuracy and e2e
+    determinism are property-tested in tests/test_audio_prep.py.
+    Payload bytes are dropped before the result leaves."""
+    from ..stages.audio_prep import augment_clips
+    out = augment_clips(_clips_ds(400, 42), seed=1, concurrency=(1, 4))
+    return out.select_columns(["clip_id", "dur_ms", "n_samples",
+                               "speed_micro", "gain_micro", "snr_db_micro"])
 
 
 def vad_segments_clips_q(sf_dir: str):
@@ -1621,6 +1672,8 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "dedup_incremental_docs": dedup_incremental_docs,
+    "chunk_docs": chunk_docs,
+    "source_mixture": source_mixture,
     # last oracle-gated entries: shapes already driver-green in rounds
     # 1-2 (the tumbling/sliding batch twins hash-matched in r02; their
     # stream_ engine variants above re-cover the semantics) — if the
@@ -1654,6 +1707,7 @@ QUERIES = {
     "approx_quantiles_events": approx_quantiles_events,
     "stream_quantile_durations": stream_quantile_durations,
     "resample_clips": resample_clips_q,
+    "augment_clips": augment_clips_q,
     "vad_segments_clips": vad_segments_clips_q,
     "chunk_clips": chunk_clips_q,
     "curate_clips": curate_clips_q,
@@ -2244,6 +2298,29 @@ fresh AS (SELECT n.doc_id, n.text FROM newd n
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM fresh GROUP BY text
+""",
+    "chunk_docs": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             UNNEST(generate_series(1, len(toks), {CHUNK_HOP})) AS start
+      FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((start - 1) / {CHUNK_HOP} AS BIGINT) AS chunk_id,
+       array_to_string(toks[start:start + {CHUNK_WINDOW - 1}], ' ')
+         AS chunk_text,
+       CAST(least(len(toks) - start + 1, {CHUNK_WINDOW}) AS BIGINT)
+         AS n_tokens
+FROM s
+""",
+    "source_mixture": """
+WITH s AS (SELECT source, COUNT(*) AS n_docs,
+                  SUM(len(string_split(text, ' '))) AS n_tokens
+           FROM documents GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens * 1000000 // (SELECT SUM(n_tokens) FROM s) AS BIGINT)
+         AS token_ppm
+FROM s
 """,
     "pack_token_shards": f"""
 WITH d AS (SELECT doc_id,

@@ -903,3 +903,142 @@ def curate_clips(ds: rd.Dataset, *,
     return exact_dedup(filt, text_col="transcript", id_col="offset",
                        carry=["clip_id", "speaker_id", "dur_ms",
                               "n_words", "rms_q20"])
+
+
+# ---------------------------------------------------------------------------
+# deterministic augmentation (speed / gain / noise-at-SNR)
+# ---------------------------------------------------------------------------
+
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64
+    (wrapping arithmetic is the algorithm)."""
+    x = x.astype(np.uint64, copy=True) + _SM_C1
+    x = (x ^ (x >> np.uint64(30))) * _SM_C2
+    x = (x ^ (x >> np.uint64(27))) * _SM_C3
+    return x ^ (x >> np.uint64(31))
+
+
+def _unit_uniform(u: np.ndarray) -> np.ndarray:
+    """uint64 -> float64 uniform in [0, 1) (53 mantissa bits)."""
+    return (u >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+
+
+_SPEED_QUANT = 10_000  # speed factors quantized to 1e-4
+
+
+class AugmentStage:
+    """Deterministic per-clip audio augmentation — the training-data
+    expansion op: speed perturb (linear resample by a per-clip factor),
+    gain perturb (log-uniform dB, peak-capped so no clipping is
+    introduced), and additive noise at a per-clip target SNR.
+
+    Every random choice is a pure function of ``(seed, hash(clip id))``
+    via splitmix64, and the noise stream is COUNTER-BASED on
+    ``(id hash, sample index)`` — so each output row's bytes depend
+    only on its input row, never on batch composition, partition
+    count, or replay order (the same row-determinism contract the
+    engine's exactly-once tests enforce).  All kernels run over the
+    batch's flat concatenated stream, one numpy pass each.
+
+    Output rows keep the input columns with ``bytes`` replaced
+    (pcm16), ``codec``='pcm16', ``dur_ms`` rescaled, plus audit
+    columns ``speed_micro`` / ``gain_micro`` / ``snr_db_micro`` and
+    ``n_samples``."""
+
+    def __init__(self, *, seed: int = 0,
+                 speed_range: tuple[float, float] = (0.9, 1.1),
+                 gain_db_range: tuple[float, float] = (-6.0, 6.0),
+                 snr_db_range: tuple[float, float] | None = (15.0, 30.0),
+                 id_col: str = "clip_id", peak_limit: float = 0.99):
+        from ..functions.hashing import _stable_token_hashes
+
+        self._hash = _stable_token_hashes
+        self.seed = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+        self.speed_range = speed_range
+        self.gain_db_range = gain_db_range
+        self.snr_db_range = snr_db_range
+        self.id_col = id_col
+        self.peak_limit = float(peak_limit)
+
+    def _draw(self, key: np.ndarray, tag: int, lo: float, hi: float
+              ) -> np.ndarray:
+        u = _unit_uniform(_splitmix64(key + np.uint64(tag)))
+        return lo + u * (hi - lo)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        bts = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        flat, lens, off = decode_flat(bts, codecs)
+        idh = self._hash([str(v) for v in t[self.id_col].to_pylist()])
+        key = _splitmix64(idh ^ _splitmix64(
+            np.full(n, self.seed, dtype=np.uint64)))
+
+        # 1. speed perturb: output sample j reads source position
+        #    j * speed — exactly resample_flat with a synthetic
+        #    per-clip input rate of round(speed * Q) against output
+        #    rate Q (speed quantized to 1e-4)
+        speed = self._draw(key, 1, *self.speed_range)
+        sr_synth = np.rint(speed * _SPEED_QUANT).astype(np.int64)
+        out, m = resample_flat(flat, lens, off, sr_synth, _SPEED_QUANT)
+        out_off = np.cumsum(m) - m
+
+        # 2. gain perturb (log-uniform in dB), capped at the post-speed
+        #    peak so augmentation never introduces clipping
+        gain = 10.0 ** (self._draw(key, 2, *self.gain_db_range) / 20.0)
+        p = per_clip_peak(out, m, out_off)
+        gain = np.minimum(gain, np.where(p > 0,
+                                         self.peak_limit / np.maximum(p, 1e-12),
+                                         np.inf))
+        out = out * np.repeat(gain, m).astype(np.float32)
+
+        # 3. additive noise at a per-clip target SNR: uniform on
+        #    [-a, a] has rms a/sqrt(3), so a = sqrt(3) * noise_rms;
+        #    sample k of clip i is splitmix64(noise_key_i + k)
+        if self.snr_db_range is not None and out.size:
+            snr_db = self._draw(key, 3, *self.snr_db_range)
+            sig_rms = per_clip_rms(out, m, out_off)
+            amp = np.sqrt(3.0) * sig_rms * 10.0 ** (-snr_db / 20.0)
+            j = np.arange(out.size, dtype=np.uint64) \
+                - np.repeat(out_off, m).astype(np.uint64)
+            nk = _splitmix64(np.repeat(_splitmix64(key + np.uint64(4)), m) + j)
+            noise = (2.0 * _unit_uniform(nk) - 1.0) * np.repeat(amp, m)
+            out = np.clip(out + noise.astype(np.float32), -1.0, 1.0)
+        else:
+            snr_db = np.full(n, np.inf)
+
+        payload = encode_pcm16_slices(out, out_off, m)
+        sr = t["sr_hz"].to_numpy().astype(np.int64)
+        cols = {name: t[name] for name in t.schema.names}
+        cols["bytes"] = pa.array(payload, type=pa.binary())
+        cols["codec"] = pa.array(["pcm16"] * n)
+        if "dur_ms" in cols:
+            cols["dur_ms"] = pa.array(
+                (m * 1000 // np.maximum(sr, 1)).astype(np.int32),
+                type=t.schema.field("dur_ms").type)
+        res = pa.table(cols)
+        res = res.append_column("n_samples", pa.array(m))
+        res = res.append_column("speed_micro", pa.array(
+            np.rint(speed * 1e6).astype(np.int64)))
+        res = res.append_column("gain_micro", pa.array(
+            np.rint(gain * 1e6).astype(np.int64)))
+        return res.append_column("snr_db_micro", pa.array(
+            np.where(np.isfinite(snr_db),
+                     np.rint(snr_db * 1e6), -1).astype(np.int64)))
+
+
+def augment_clips(ds: rd.Dataset, *, seed: int = 0,
+                  speed_range=(0.9, 1.1), gain_db_range=(-6.0, 6.0),
+                  snr_db_range=(15.0, 30.0), id_col: str = "clip_id",
+                  concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(AugmentStage, fn_constructor_kwargs={
+        "seed": seed, "speed_range": speed_range,
+        "gain_db_range": gain_db_range, "snr_db_range": snr_db_range,
+        "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -130,3 +130,41 @@ def pack_greedy(ds: rd.Dataset, id_col: str, weight_col: str,
         return pd.concat(parts, ignore_index=True)
 
     return bucketed_groupby(tagged, ["__range"], per_range)
+
+
+def chunk_docs(ds: rd.Dataset, *, window: int, hop: int,
+               text_col: str = "text", id_col: str = "doc_id"
+               ) -> rd.Dataset:
+    """Fixed-window token chunking with overlap — the text analog of
+    the audio chunker (stages/audio_prep.py::chunk_clips) and the
+    map-only alternative to :func:`token_shards`: each doc
+    independently splits into ``window``-token chunks every ``hop``
+    tokens (the last chunk may be short).  Pure per-batch map — zero
+    shuffles, embarrassingly parallel, so it composes with curation at
+    any scale.  Output: (id, chunk_id, chunk_text, n_tokens).
+
+    Token semantics match the repo's SQL twins exactly: single-space
+    split, empty tokens preserved (``''`` is one token).  The window
+    join is per-chunk Python (string assembly is inherently
+    object-level, same trade as ``word_shingles``); the per-doc chunk
+    plan itself is arithmetic."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        cids: list[int] = []
+        texts: list[str] = []
+        ntoks: list[int] = []
+        for did, txt in zip(b[id_col].to_numpy(), b[text_col].fillna("")):
+            toks = txt.split(" ")
+            for ci, s in enumerate(range(0, len(toks), hop)):
+                w = toks[s:s + window]
+                ids.append(did)
+                cids.append(ci)
+                texts.append(" ".join(w))
+                ntoks.append(len(w))
+        return pd.DataFrame({id_col: np.asarray(ids, np.int64),
+                             "chunk_id": np.asarray(cids, np.int64),
+                             "chunk_text": pd.Series(texts, dtype=object),
+                             "n_tokens": np.asarray(ntoks, np.int64)})
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=1024)

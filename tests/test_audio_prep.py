@@ -621,3 +621,89 @@ def test_resample_stage_ray_end_to_end(ray_session):
     assert np.array_equal(df["n_samples"].to_numpy(), expect)
     # payload integrity: bytes length == 2 * n_samples
     assert all(len(b) == 2 * n for b, n in zip(df["bytes"], df["n_samples"]))
+
+
+# ---------------------------------------------------------------------------
+# AugmentStage (speed / gain / noise-at-SNR)
+# ---------------------------------------------------------------------------
+
+
+def _augment(t, **kw):
+    from parallel_dataflow_ray.stages.audio_prep import AugmentStage
+
+    return AugmentStage(**kw)(t)
+
+
+def test_augment_batch_invariant():
+    """Output bytes are a pure function of the row: augmenting the
+    whole batch == augmenting any split of it (the partition/replay
+    determinism contract)."""
+    t = clips_table(16, seed=11)
+    whole = _augment(t, seed=5)
+    parts = [_augment(t.slice(i, 4), seed=5) for i in range(0, 16, 4)]
+    joined = pa.concat_tables(parts)
+    assert whole.equals(joined)
+
+
+def test_augment_speed_changes_length_correctly():
+    t = clips_table(16, seed=11)
+    out = _augment(t, seed=5, gain_db_range=(0.0, 0.0), snr_db_range=None)
+    bts = t["bytes"].to_pylist()
+    codecs = t["codec"].to_pylist()
+    _, lens, _ = decode_flat(bts, codecs)
+    m = out["n_samples"].to_numpy()
+    speed = out["speed_micro"].to_numpy() / 1e6
+    # resample length law: round-half-up of n / speed (via the
+    # synthetic-rate quantization to 1e-4)
+    sr_synth = np.rint(speed * 10_000)
+    want = (lens * 10_000 + sr_synth // 2) // sr_synth
+    assert np.array_equal(m, np.maximum(want, (lens > 0).astype(int)))
+
+
+def test_augment_gain_only_scales_signal():
+    """With speed pinned to 1 and noise off, output == gain * input to
+    within pcm16 quantization."""
+    t = clips_table(8, seed=3)
+    out = _augment(t, seed=2, speed_range=(1.0, 1.0), snr_db_range=None)
+    gains = out["gain_micro"].to_numpy() / 1e6
+    for i in range(8):
+        x = decode_clip(t["bytes"][i].as_py(), t["codec"][i].as_py())
+        y = decode_pcm16(out["bytes"][i].as_py())
+        assert len(x) == len(y)
+        assert np.abs(y - np.clip(x * gains[i], -1, 1)).max() <= 1.5 / 32767
+        assert np.abs(y).max() <= 0.9901  # peak cap honored
+
+
+def test_augment_noise_hits_target_snr():
+    """Measured residual vs the noise-free augmentation matches the
+    requested SNR within ~1 dB (uniform-noise rms law + pcm16
+    quantization slack)."""
+    t = clips_table(8, seed=7)
+    kw = dict(seed=9, speed_range=(1.0, 1.0), gain_db_range=(0.0, 0.0))
+    clean = _augment(t, snr_db_range=None, **kw)
+    noisy = _augment(t, snr_db_range=(20.0, 20.0), **kw)
+    for i in range(8):
+        c = decode_pcm16(clean["bytes"][i].as_py())
+        y = decode_pcm16(noisy["bytes"][i].as_py())
+        if len(c) < 2000 or np.abs(c).max() > 0.95:  # clamp would bias
+            continue
+        resid = y - c
+        sig = np.sqrt(np.mean(c ** 2))
+        got_snr = 20 * np.log10(sig / np.sqrt(np.mean(resid ** 2)))
+        assert abs(got_snr - 20.0) < 1.0, (i, got_snr)
+
+
+def test_augment_clips_e2e(ray_session):
+    from parallel_dataflow_ray.stages.audio_prep import augment_clips
+
+    ds = clips_dataset(64, seed=4)
+    out = augment_clips(ds, seed=1, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 64
+    assert (out["codec"] == "pcm16").all()
+    assert out["speed_micro"].between(900_000, 1_100_000).all()
+    # deterministic across runs
+    out2 = augment_clips(clips_dataset(64, seed=4), seed=1,
+                         concurrency=(1, 2)).to_pandas()
+    a = out.sort_values("clip_id").reset_index(drop=True)
+    b = out2.sort_values("clip_id").reset_index(drop=True)
+    assert a.equals(b)
