@@ -40,7 +40,7 @@ BATCH_QUERIES = [
     "range_join_error_after_signup", "bpe_token_stats",
     "running_user_totals", "distinct_users_by_type",
     "embedding_neardup_lsh",
-    "knn_topk", "ann_self_topk", "quantiles_lineitem",
+    "knn_topk", "knn_topk_q8", "ann_self_topk", "quantiles_lineitem",
     "approx_distinct_users", "heavy_bigrams", "stream_tumbling_events",
     "stream_join_events", "approx_quantiles_events",
     "funnel_events", "funnel_no_error_events", "stream_funnel_events",

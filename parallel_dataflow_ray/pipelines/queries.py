@@ -750,6 +750,21 @@ def knn_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "cos_milli"]]
 
 
+def knn_topk_q8(sf_dir: str):
+    """Cosine top-k over the int8-quantized corpus (4x smaller stored/
+    shuffled embedding column; the scale cancels under normalization).
+    Rows-only: int8 rounding perturbs cos_milli, so no hash twin —
+    recall vs the float path is property-tested in
+    tests/test_similarity.py."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q8 = sim.quantize_embeddings(ds)
+    q = _query_vectors(sf_dir)
+    out = sim.brute_force_topk_q8(q8, q, k=10)
+    out = out.rename(columns={"query_id": "qidx"})
+    out["query_id"] = out["qidx"].astype("int64")
+    return out[["query_id", "rank", "vec_id", "cos_milli"]]
+
+
 def embedding_neardup(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return dd.embedding_neardup_pairs(ds, threshold=0.45)
@@ -1702,6 +1717,7 @@ QUERIES = {
     "minhash_clusters": minhash_clusters,
     "simhash_neardup": simhash_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh_q,
+    "knn_topk_q8": knn_topk_q8,
     "ivf_topk": ivf_topk_q,
     "approx_distinct_users": approx_distinct_users,
     "approx_quantiles_events": approx_quantiles_events,

@@ -51,3 +51,44 @@ def test_brute_force_is_exact_and_deterministic(ray_session):
     b = sim.brute_force_topk(ds, q, k=5)
     assert a.equals(b)
     assert (a.groupby("query_id")["rank"].max() == 5).all()
+
+
+def test_quantized_knn_recall_vs_float(ray_session):
+    """int8 quantization: recall@10 vs the exact float path >= 0.95
+    (cosine is per-vector scale-invariant, so only direction rounding
+    perturbs ranks), and the dequantized direction is within int8
+    rounding of the original."""
+    import numpy as np
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.similarity import (
+        brute_force_topk, brute_force_topk_q8, quantize_embeddings)
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 32
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    # plant near-dup clusters so top-k is non-trivial
+    for i in range(0, n, 20):
+        X[i + 1] = X[i] + rng.normal(scale=0.05, size=d).astype(np.float32)
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}))
+    q8 = quantize_embeddings(ds)
+
+    # direction error bound: |dequant_normalized - normalized| per
+    # component <= rounding of the scaled grid
+    row = q8.take(5)
+    for r in row:
+        x = X[r["vec_id"]]
+        deq = np.asarray(r["q_embedding"], np.float32) * r["scale"]
+        assert np.abs(deq - x).max() <= r["scale"] * 0.5 + 1e-6
+
+    Q = X[:25]
+    exact = brute_force_topk(ds, Q, k=10)
+    quant = brute_force_topk_q8(q8, Q, k=10)
+    rec = []
+    for q in range(25):
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        a = set(quant.loc[quant["query_id"] == q, "vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.95, np.mean(rec)
