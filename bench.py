@@ -46,6 +46,7 @@ BATCH_QUERIES = [
     "funnel_events", "funnel_no_error_events", "stream_funnel_events",
     "kleene_funnel_events", "stream_kleene_events",
     "stream_topk_event_types", "stream_quantile_durations",
+    "stream_vocab_clips",
     "pack_token_shards",
     "decontaminate_docs", "decontaminate_docs_bloom",
     "dedup_incremental_docs", "chunk_docs", "source_mixture",

@@ -1093,6 +1093,24 @@ def stream_dedup_clips(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def stream_vocab_clips(sf_dir: str):
+    """Streaming HLL approx-distinct (rows-only): per (speaker,
+    window) transcript vocabulary size from 1 KB register state —
+    the mergeable sketch as a streaming kernel.  Oracle parity across
+    in-order/ooo/partitions, map-side combine, kill/resume and the
+    ≤10 % error bound are pytest-gated."""
+    from ..streaming.kernels import VocabSketch
+    table = clips_table(400, seed=42, lateness_ms=40, n_speakers=7)
+    epochs = epochs_from_table(table, 97)
+    eng = StreamEngine("window",
+                       {"spec": VocabSketch(),
+                        "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
 def user_event_sequences(sf_dir: str):
     """Grouped sequence building (collect/string_agg): each user's
     time-ordered event-type path — the session-sequence shape a
@@ -1711,6 +1729,7 @@ QUERIES = {
     "stream_audio_energy": stream_audio_energy,
     "stream_audio_spectral": stream_audio_spectral,
     "stream_dedup_clips": stream_dedup_clips,
+    "stream_vocab_clips": stream_vocab_clips,
     "audio_features": audio_features_q,
     "fingerprint_docs": fingerprint_docs,
     "minhash_neardup": minhash_neardup,

@@ -680,9 +680,76 @@ class ClipProfile(CompositeSpec):
                          name="clip_profile")
 
 
+class VocabSketch(StreamOpSpec):
+    """Streaming HyperLogLog approx-distinct per (key, window): the
+    window's transcript VOCABULARY size (distinct words across every
+    row) from 2^10 one-byte registers — O(1 KB) state per (key,
+    window) no matter how many rows or words arrive, the mergeable
+    sketch as a first-class streaming kernel (the window twin of the
+    batch ``grouped_approx_distinct``).
+
+    The meet (elementwise register MAX) is commutative, associative
+    AND idempotent — re-ingesting the very same row cannot move any
+    register — so this kernel exhibits the reference's replay-safety
+    argument (``blog/blog.md:91-103``) in its purest form: arbitrary
+    fold granularity, partial merges, salting and replays are all
+    bit-exact, which is why the strict differential matrix applies to
+    an *approximate* aggregate.  The estimate is computed once in
+    ``finish`` from the fully-merged registers."""
+
+    name = "vocab_sketch"
+    key_column = "speaker_id"
+    value_columns = ("transcript",)
+    _P = 10
+    _M = 1 << 10
+
+    def initial_state(self) -> np.ndarray:
+        return np.zeros(self._M, dtype=np.uint8)
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.maximum(a, b)
+
+    def update(self, state: np.ndarray, rows: list[dict]) -> np.ndarray:
+        return self._ingest(
+            state, [w for r in rows
+                    for w in (r["transcript"] or "").split()])
+
+    def update_table(self, state: np.ndarray, t) -> np.ndarray:
+        return self._ingest(
+            state, [w for s in t["transcript"].to_pylist()
+                    for w in (s or "").split()])
+
+    def _ingest(self, state: np.ndarray, words: list[str]) -> np.ndarray:
+        if not words:
+            return state
+        from ..functions.hashing import _stable_token_hashes
+        from ..stages.sketches import _clz64
+
+        h = _stable_token_hashes(words)
+        idx = (h >> np.uint64(64 - self._P)).astype(np.int64)
+        # sentinel bit below the register index caps the rank (the
+        # standard HLL trick, same as stages/sketches.py::hll_registers)
+        w = (h << np.uint64(self._P)) | np.uint64(1 << (self._P - 1))
+        rank = (_clz64(w) + 1).astype(np.uint8)
+        np.maximum.at(state, idx, rank)
+        return state
+
+    def finish(self, key, window, state: np.ndarray) -> dict | None:
+        if not state.any():
+            return None
+        m = float(self._M)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.ldexp(1.0, -state.astype(np.int64)))
+        zeros = int(np.count_nonzero(state == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear-counting small range
+        return {self.key_column: key, **_fmt_window(window),
+                "vocab_est": int(round(est))}
+
+
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
      CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
-     CodecKleene, TopWords, QuantileHist, ClipProfile)
+     CodecKleene, TopWords, QuantileHist, ClipProfile, VocabSketch)
 }

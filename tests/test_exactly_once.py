@@ -61,7 +61,7 @@ def test_uninterrupted_sink_matches_oracle(tmp_path):
 
 
 @pytest.mark.parametrize("kernel", ["clip_stats", "first_seen", "codec_funnel",
-                                    "codec_kleene"])
+                                    "codec_kleene", "vocab_sketch"])
 @pytest.mark.parametrize("partial", [False, True], ids=["clean-kill", "partial-commit"])
 def test_kill_and_resume_exactly_once(tmp_path, partial, kernel):
     epochs = epochs_from_table(_table(), EPOCH_ROWS)

@@ -50,7 +50,7 @@ def _run(op_kwargs, epochs, *, combine, P):
 
 @pytest.mark.parametrize("spec_name", ["audio_energy", "clip_stats",
                                        "top_words", "quantile_hist",
-                                       "clip_profile"])
+                                       "clip_profile", "vocab_sketch"])
 @pytest.mark.parametrize("ooo", [False, True], ids=["inorder", "ooo"])
 @pytest.mark.parametrize("win", [TumblingWindows(1_000_000),
                                  SlidingWindows(3_000_000, 2_000_000)],

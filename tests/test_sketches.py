@@ -329,3 +329,25 @@ def test_contamination_bloom_matches_exact():
                                       m_bits=1 << 12, k_hashes=2))
     assert len(exact) > 0
     pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_vocab_sketch_estimate_accuracy():
+    """Streaming HLL kernel: estimate within 10 % of the true distinct
+    word count at 2^10 registers (theory ~3.3 %), and register-idempotent
+    under replay (re-ingesting the same rows changes nothing)."""
+    from parallel_dataflow_ray.streaming.kernels import VocabSketch
+
+    rng = np.random.default_rng(2)
+    words = [f"tok{i}" for i in rng.integers(0, 3000, 20_000)]
+    true = len(set(words))
+    spec = VocabSketch()
+    s = spec._ingest(spec.initial_state(), words)
+    est = spec.finish("k", (0, 1), s)["vocab_est"]
+    assert abs(est - true) / true <= 0.10, (est, true)
+    # idempotence: replaying the whole stream is a no-op
+    s2 = spec._ingest(s.copy(), words)
+    assert np.array_equal(s, s2)
+    # merge of split partials == single pass
+    a = spec._ingest(spec.initial_state(), words[:9000])
+    b = spec._ingest(spec.initial_state(), words[9000:])
+    assert np.array_equal(spec.merge(a, b), s)
