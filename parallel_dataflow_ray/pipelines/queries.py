@@ -1668,7 +1668,6 @@ QUERIES = {
     "scrub_props": scrub_props,
     "running_user_totals": running_user_totals,
     "pivot_event_counts": pivot_event_counts,
-    "sort_events": sort_events,
     "stream_tumbling_events": stream_tumbling_events,
     "stream_sliding_events": stream_sliding_events,
     "stream_session_events": stream_session_events,
@@ -1682,8 +1681,6 @@ QUERIES = {
     "stream_topk_event_types": stream_topk_event_types,
     "user_event_sequences": user_event_sequences,
     "token_stats": token_stats,
-    "lang_count": lang_count,
-    "stratified_docs": stratified_docs,
     "split_docs": split_docs,
     "balanced_docs": balanced_docs,
     "exact_dedup_docs": exact_dedup_docs,
@@ -1694,6 +1691,12 @@ QUERIES = {
     "topk_users_hourly": topk_users_hourly,
     "docs_quality": docs_quality,
     "langid_docs": langid_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "decontaminate_docs_bloom": decontaminate_docs_bloom,
+    "dedup_incremental_docs": dedup_incremental_docs,
+    "chunk_docs": chunk_docs,
+    "source_mixture": source_mixture,
+    "pack_token_shards": pack_token_shards,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "knn_topk": knn_topk,
     "embedding_neardup": embedding_neardup,
@@ -1701,12 +1704,17 @@ QUERIES = {
     "ann_self_topk": ann_self_topk,
     "quantiles_lineitem": quantiles_lineitem,
     "heavy_bigrams": heavy_bigrams,
-    "pack_token_shards": pack_token_shards,
-    "decontaminate_docs": decontaminate_docs,
-    "decontaminate_docs_bloom": decontaminate_docs_bloom,
-    "dedup_incremental_docs": dedup_incremental_docs,
-    "chunk_docs": chunk_docs,
-    "source_mixture": source_mixture,
+    # displaced from the head-50 in round 3 to make room for the
+    # round-3 shapes above (decontamination / incremental dedup /
+    # chunking / mixture / packing, none of which ever had a driver
+    # row): all five hash-matched the driver's own oracle in r02
+    # (CORRECTNESS_r02.json) and their semantics stay covered —
+    # sort_events by the range-partition test + topk family,
+    # lang_count by langid_docs, stratified_docs by the
+    # split/balanced sampling family
+    "sort_events": sort_events,
+    "lang_count": lang_count,
+    "stratified_docs": stratified_docs,
     # last oracle-gated entries: shapes already driver-green in rounds
     # 1-2 (the tumbling/sliding batch twins hash-matched in r02; their
     # stream_ engine variants above re-cover the semantics) — if the
