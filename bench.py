@@ -188,10 +188,8 @@ def bench_audio_prep(tmpdir: str) -> dict:
     ds = rd.read_parquet(gen_path)
     t0 = time.perf_counter()
     out = chunk_clips(
-        resample_clips(ds, 16000, target_rms=0.1,
-                       concurrency=(1, NUM_CPUS), batch_size=128),
-        chunk_ms=250, hop_ms=200, concurrency=(1, NUM_CPUS),
-        batch_size=128)
+        resample_clips(ds, 16000, target_rms=0.1, batch_size=128),
+        chunk_ms=250, hop_ms=200, batch_size=128)
     n_chunks = out.count()
     dt = time.perf_counter() - t0
     return {"clips": STREAM_CLIPS, "chunks": n_chunks,
@@ -202,22 +200,37 @@ def bench_audio_prep(tmpdir: str) -> dict:
 def bench_audio_neardup(tmpdir: str) -> dict:
     """clips/sec through the audio near-dup pass over the same
     generated clip stream: one-decode-pass spectral fingerprint +
-    verify profile -> 4x16-bit-band hamming LSH -> log-band-profile
-    cosine verify.  Only 264 B/clip sketch rows ever shuffle — this
-    measures the sketch stage's FFT throughput plus the pair
-    machinery's fixed costs."""
+    verify profile -> sparse 5-of-6 subset LSH -> broadcast
+    log-band-profile cosine verify.  Only 264 B/clip sketch rows ever
+    shuffle.  Runs the documented SCALE configuration
+    (``clique_cap=1000``: identical-fingerprint cliques and oversized
+    cross products emit connectivity-preserving star / rep-rep edges)
+    because the synthetic tone corpus is pathologically self-similar —
+    its exact hamming ball is ~40M pairs at 100k clips; the declined
+    pair count is audited AFTER the timed window via
+    ``hamming_clique_stats`` and reported (no silent caps)."""
     import ray.data as rd
 
     from parallel_dataflow_ray.stages.audio_prep import audio_neardup_pairs
+    from parallel_dataflow_ray.stages.audio_prep import fingerprint_clips
+    from parallel_dataflow_ray.stages.dedup import hamming_clique_stats
 
     gen_path = os.path.join(tmpdir, f"clips_{STREAM_CLIPS}_{STREAM_EPOCH_ROWS}_s1k_rg")
     ds = rd.read_parquet(gen_path)
     t0 = time.perf_counter()
     n_pairs = audio_neardup_pairs(
-        ds, id_col="offset", max_hamming=3, verify_cosine=0.998).count()
+        ds, id_col="offset", max_hamming=3, verify_cosine=0.998,
+        clique_cap=1000).count()
     dt = time.perf_counter() - t0
+    # audit pass (outside the timed window): what did the cap decline?
+    st = hamming_clique_stats(fingerprint_clips(ds, id_col="offset"),
+                              hash_col="simhash", clique_cap=1000)
     return {"clips": STREAM_CLIPS, "pairs": n_pairs, "sec": round(dt, 3),
-            "clips_per_sec": round(STREAM_CLIPS / dt, 1)}
+            "clips_per_sec": round(STREAM_CLIPS / dt, 1),
+            "clique_cap": 1000,
+            "max_clique": int(st["max_clique"].iloc[0]),
+            "identical_clique_pairs": int(st["clique_pairs"].iloc[0]),
+            "declined_clique_pairs": int(st["declined_pairs"].iloc[0])}
 
 
 def main() -> None:

@@ -501,17 +501,25 @@ def audio_fingerprint64(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
     noise floor or a resample's aliased noise, while near-tie
     comparisons between noise-dominated bands are coin flips (measured:
     gain 0, mu-law <= 2, 2x decimation <= 2 flips on the fixture
-    corpus; unrelated clips differ by >= 4).  Near-dups are pairs
-    within a small hamming distance — fed to the same 4x16-bit-band
-    LSH the text simhash uses (``stages.dedup.hamming_pairs``)."""
+    corpus; unrelated clips differ by >= 4).  Exactly 6 bits are ALWAYS
+    set (energy ties broken deterministically toward the lower band
+    index — a degenerate all-zero clip fingerprints as bands 0-5), so
+    the hamming distance between any two fingerprints is even and the
+    sparse 5-of-6 subset LSH (``stages.dedup.hamming_pairs`` with
+    ``scheme="sparse_topk"``) is EXACT for ``max_hamming <= 3``."""
     n = lens.size
     if n == 0:
         return np.zeros(0, np.uint64)
-    bands = band_energies(flat, lens, off, sr_hz)
-    thresh = np.partition(bands, -_FP_TOPK, axis=1)[:, -_FP_TOPK]
-    bits = bands >= thresh[:, None]                      # (n, 64)
-    shifts = np.arange(_FP_BANDS, dtype=np.uint64)
-    return np.bitwise_or.reduce(bits.astype(np.uint64) << shifts, axis=1)
+    return _topk_bits(band_energies(flat, lens, off, sr_hz))
+
+
+def _topk_bits(E: np.ndarray) -> np.ndarray:
+    """(n, 64) energies -> uint64 with EXACTLY the top-``_FP_TOPK``
+    bands' bits set; ties broken toward the lower band index (stable
+    sort), so the popcount is constant by construction."""
+    idx = np.argsort(-E, axis=1, kind="stable")[:, :_FP_TOPK]
+    return np.bitwise_or.reduce(
+        np.uint64(1) << idx.astype(np.uint64), axis=1)
 
 
 def band_energies(flat: np.ndarray, lens: np.ndarray, off: np.ndarray,
@@ -600,10 +608,7 @@ def sketch_arrays(E: np.ndarray, *, profile: bool = False):
     survives every pandas/arrow boundary on the join path (Ray's pandas
     TensorArray cannot concat the object arrays a filtered nested
     column produces) and is decoded zero-copy by ``np.frombuffer``."""
-    thresh = np.partition(E, -_FP_TOPK, axis=1)[:, -_FP_TOPK]
-    shifts = np.arange(_FP_BANDS, dtype=np.uint64)
-    fp = np.bitwise_or.reduce(
-        (E >= thresh[:, None]).astype(np.uint64) << shifts, axis=1)
+    fp = _topk_bits(E)
     if not profile:
         return fp, None
     buf = log_band_profile(E).astype("<f4").tobytes()
@@ -613,43 +618,120 @@ def sketch_arrays(E: np.ndarray, *, profile: bool = False):
     return fp, prof
 
 
+# Pool policy for the DSP stages (measured round 4, 100k-clip bench):
+# - r3's autoscaling ``concurrency=(1, 8)`` pools left 24 of 32 cores
+#   idle (VERDICT r3 item 5), and raising the cap to ``(1, 24)`` did
+#   NOT help: Ray's actor autoscaler upscales only at pool utilization
+#   >= 2.0 (DEFAULT_ACTOR_POOL_UTIL_UPSCALING_THRESHOLD), one actor per
+#   tick, so under streaming backpressure the pool idled at 1-2 actors
+#   (fingerprint stage 67.7 s vs 14.7 s with a fixed pool of 24).
+# - FIXED pools (``concurrency=24``) are fast but compose dangerously:
+#   the executor waits for ALL pool actors before running the stage, so
+#   two pools whose sizes sum past the cluster (or one pool next to
+#   another stage's lingering actors on a 4-CPU test cluster) deadlock
+#   — reproduced with the 4-CPU pytest session.
+# - These stages hold NO real per-actor state (decode tables are
+#   module-level; constructor args are a few ints), so the repo's
+#   ``MinHashStage`` doctrine applies: INSTANCE-AS-UDF task pools —
+#   measured as fast as the fixed pool (13.5 s vs 14.7 s), use every
+#   free CPU, and cannot deadlock.  Actor pools remain for stages with
+#   real setup (engine splitter/partition actors, broadcast-ref
+#   stages).
+
+
 def fingerprint_clips(ds: rd.Dataset, *, id_col: str = "offset",
                       profile: bool = False,
-                      concurrency=(1, 8), batch_size: int = 256
+                      concurrency=None, batch_size: int = 256
                       ) -> rd.Dataset:
-    return ds.map_batches(FingerprintStage,
-                          fn_constructor_kwargs={"id_col": id_col,
-                                                 "profile": profile},
+    return ds.map_batches(FingerprintStage(id_col, profile),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
 
 
+_VERIFY_BROADCAST_ROWS = 2_000_000   # 264 B/row -> ~0.5 GB broadcast cap
+
+
 def verify_audio_cosine(pairs: rd.Dataset, sketches: rd.Dataset, *,
                         threshold: float = 0.998, id_col: str = "offset",
-                        num_buckets: int = 16) -> rd.Dataset:
+                        num_buckets: int = 16,
+                        broadcast_rows: int = _VERIFY_BROADCAST_ROWS
+                        ) -> rd.Dataset:
     """Verify hamming-LSH candidates with the log-band-profile cosine —
     the audio analog of ``dedup.verify_jaccard``, fully distributed:
     the sketch table is filtered map-side to candidate rows
-    (``dedup.candidate_rows`` — the corpus profile set never shuffles),
-    then two bucket joins attach each side's 64-float profile and the
-    cosine is one vectorized einsum per batch.  The gate compares the
-    QUANTIZED value ``round(cos * 1e6) >= round(threshold * 1e6)`` so
-    the decision is batch-composition independent (profiles are
-    computed per row; the dot is a fixed-order float64 reduction)."""
+    (``dedup.candidate_rows`` — the corpus profile set never shuffles).
+    When the candidate set is small (<= ``broadcast_rows``, ~0.5 GB of
+    256-byte profiles) it is BROADCAST once via object-store block refs
+    and verification is a join-free map over the pair stream (gather +
+    one einsum per batch) — a dense candidate graph makes the join
+    path shuffle pairs x 2 x 256 B of profile payload (measured ~4 GB
+    / 28.6 s at 7.5M candidates where the broadcast table is 26 MB).
+    Past the cap it falls back to the two-bucket-join shape.  The gate
+    compares the QUANTIZED value ``round(cos * 1e6) >= round(threshold
+    * 1e6)`` so the decision is batch-composition independent (profiles
+    are computed per row; the dot is a fixed-order float64 reduction)."""
+    import ray as _ray
+
     from .dedup import candidate_rows
     from .relational import bucket_join
 
+    thr_micro = int(round(threshold * 1e6))
     pairs = pairs.materialize()
     cd = candidate_rows(sketches, pairs, id_col=id_col,
                         payload_cols=["profile"],
                         num_buckets=num_buckets).materialize()
+
+    if cd.count() <= broadcast_rows:
+        refs = cd.to_arrow_refs()
+
+        class BroadcastCosVerify:
+            """Instance-as-UDF carrying only ObjectRefs; the profile
+            matrix is assembled once per worker from local object-store
+            blocks (zero-copy reads, never re-shipped per batch)."""
+
+            def __init__(self):
+                self.refs = refs
+                self.ids: np.ndarray | None = None
+                self.P: np.ndarray | None = None
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                if len(b) == 0:
+                    return pd.DataFrame(
+                        {"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64"),
+                         "hamming": pd.Series(dtype="int64"),
+                         "cos_micro": pd.Series(dtype="int64")})
+                if self.ids is None:
+                    blocks = [t for t in _ray.get(list(self.refs))
+                              if t.num_rows]
+                    ids = np.concatenate(
+                        [t[id_col].to_numpy() for t in blocks])
+                    P = np.frombuffer(
+                        b"".join(b"".join(t["profile"].to_pylist())
+                                 for t in blocks), "<f4") \
+                        .reshape(ids.size, _FP_BANDS).astype(np.float64)
+                    o = np.argsort(ids, kind="stable")
+                    self.ids, self.P = ids[o], P[o]
+                ia = np.searchsorted(self.ids, b["id_a"].to_numpy())
+                ib = np.searchsorted(self.ids, b["id_b"].to_numpy())
+                q = np.rint(np.einsum("ij,ij->i", self.P[ia], self.P[ib])
+                            * 1e6).astype(np.int64)
+                keep = q >= thr_micro
+                return pd.DataFrame({
+                    "id_a": b["id_a"].to_numpy()[keep],
+                    "id_b": b["id_b"].to_numpy()[keep],
+                    "hamming": b["hamming"].to_numpy()[keep],
+                    "cos_micro": q[keep]})
+
+        return pairs.map_batches(BroadcastCosVerify(),
+                                 batch_format="pandas", batch_size=65536)
+
     da = cd.map_batches(lambda b: b.rename(
         columns={id_col: "id_a", "profile": "__pa"}), batch_format="pandas")
     db = cd.map_batches(lambda b: b.rename(
         columns={id_col: "id_b", "profile": "__pb"}), batch_format="pandas")
     j = bucket_join(pairs, da, on="id_a", num_buckets=num_buckets)
     j = bucket_join(j.materialize(), db, on="id_b", num_buckets=num_buckets)
-    thr_micro = int(round(threshold * 1e6))
 
     def cos(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -673,16 +755,25 @@ def verify_audio_cosine(pairs: rd.Dataset, sketches: rd.Dataset, *,
 
 def audio_neardup_pairs(ds: rd.Dataset, *, id_col: str = "offset",
                         max_hamming: int = 3, num_buckets: int = 32,
-                        verify_cosine: float | None = None) -> rd.Dataset:
+                        verify_cosine: float | None = None,
+                        clique_cap: int | None = None) -> rd.Dataset:
     """Near-duplicate AUDIO detection: finds re-encoded copies of the
     same recording (different codec / gain / sample rate) without ever
     comparing waveforms pairwise.  Exactly the hamming-ball pair set
-    over the spectral fingerprint for ``max_hamming <= 3`` (pigeonhole
-    over the 4x16-bit bands); with ``verify_cosine`` set, candidates
-    are additionally gated on the log-band-profile cosine (sketch +
-    profile come from ONE decode pass; the sketch table — 264 B/row,
-    payload-free — is materialized once so the corpus is never decoded
-    twice; at extreme scale persist it to parquet instead)."""
+    over the spectral fingerprint for ``max_hamming <= 3`` — the
+    fingerprint sets EXACTLY 6 of 64 bits, so the LSH bands are the six
+    leave-one-out 5-subset keys of the set-bit positions
+    (``scheme="sparse_topk"``; fixed 16-bit chunk bands are near-always
+    zero on so sparse a mask and collapse 93% of clips into one bucket
+    — the round-3 single-task-quadratic scale-killer).  Identical
+    fingerprints are collapsed to one distance computation per distinct
+    sketch pair; ``clique_cap`` bounds per-clique pair expansion (star
+    edges past it — see ``dedup.hamming_pairs``).  With
+    ``verify_cosine`` set, candidates are additionally gated on the
+    log-band-profile cosine (sketch + profile come from ONE decode
+    pass; the sketch table — 264 B/row, payload-free — is materialized
+    once so the corpus is never decoded twice; at extreme scale persist
+    it to parquet instead)."""
     from .dedup import hamming_pairs
 
     sk = fingerprint_clips(ds, id_col=id_col,
@@ -690,11 +781,13 @@ def audio_neardup_pairs(ds: rd.Dataset, *, id_col: str = "offset",
     if verify_cosine is None:
         return hamming_pairs(sk, id_col=id_col, hash_col="simhash",
                              max_hamming=max_hamming,
-                             num_buckets=num_buckets)
+                             num_buckets=num_buckets,
+                             scheme="sparse_topk", clique_cap=clique_cap)
     sk = sk.materialize()
     pairs = hamming_pairs(sk.select_columns([id_col, "simhash"]),
                           id_col=id_col, hash_col="simhash",
-                          max_hamming=max_hamming, num_buckets=num_buckets)
+                          max_hamming=max_hamming, num_buckets=num_buckets,
+                          scheme="sparse_topk", clique_cap=clique_cap)
     return verify_audio_cosine(pairs,
                                sk.select_columns([id_col, "profile"]),
                                threshold=verify_cosine, id_col=id_col)
@@ -772,10 +865,9 @@ def curate_neardup_clips(ds: rd.Dataset, *,
     max_cr = int(max_clip_ratio * q)
     lo_w, hi_w = int(wps_range[0] * 1024), int(wps_range[1] * 1024)
 
-    feats = ds.map_batches(CurateSketchStage,
-                           fn_constructor_kwargs={"quantize": quantize},
+    feats = ds.map_batches(CurateSketchStage(quantize=quantize),
                            batch_format="pyarrow", batch_size=128,
-                           concurrency=(1, 8), num_cpus=1)
+                           num_cpus=1)
 
     def keep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -792,7 +884,8 @@ def curate_neardup_clips(ds: rd.Dataset, *,
     filt = feats.map_batches(keep, batch_format="pyarrow").materialize()
     pairs = hamming_pairs(filt.select_columns(["offset", "simhash"]),
                           id_col="offset", hash_col="simhash",
-                          max_hamming=max_hamming, num_buckets=num_buckets)
+                          max_hamming=max_hamming, num_buckets=num_buckets,
+                          scheme="sparse_topk")
     verified = verify_audio_cosine(
         pairs, filt.select_columns(["offset", "profile"]),
         threshold=verify_cosine, id_col="offset")
@@ -832,26 +925,26 @@ class PadSilenceStage:
 
 def resample_clips(ds: rd.Dataset, sr_out: int = 16000, *,
                    target_rms: float | None = None,
-                   concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:
-    return ds.map_batches(ResampleStage, fn_constructor_kwargs={
-        "sr_out": sr_out, "target_rms": target_rms},
+                   concurrency=None, batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(
+        ResampleStage(sr_out=sr_out, target_rms=target_rms),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
 
 
 def vad_segment_clips(ds: rd.Dataset, *, frame_ms: int = 20,
-                      thresh: float = 0.02, concurrency=(1, 8),
+                      thresh: float = 0.02, concurrency=None,
                       batch_size: int = 256) -> rd.Dataset:
-    return ds.map_batches(VadSegmentStage, fn_constructor_kwargs={
-        "frame_ms": frame_ms, "thresh": thresh},
+    return ds.map_batches(
+        VadSegmentStage(frame_ms=frame_ms, thresh=thresh),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
 
 
 def chunk_clips(ds: rd.Dataset, *, chunk_ms: int = 250, hop_ms: int = 200,
-                concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:
-    return ds.map_batches(ChunkStage, fn_constructor_kwargs={
-        "chunk_ms": chunk_ms, "hop_ms": hop_ms},
+                concurrency=None, batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(
+        ChunkStage(chunk_ms=chunk_ms, hop_ms=hop_ms),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
 
@@ -882,10 +975,9 @@ def curate_clips(ds: rd.Dataset, *,
     max_cr = int(max_clip_ratio * q)
     lo_w, hi_w = int(wps_range[0] * 1024), int(wps_range[1] * 1024)
 
-    feats = ds.map_batches(ClipQualityStage,
-                           fn_constructor_kwargs={"quantize": quantize},
+    feats = ds.map_batches(ClipQualityStage(quantize=quantize),
                            batch_format="pyarrow", batch_size=256,
-                           concurrency=(1, 8), num_cpus=1)
+                           num_cpus=1)
 
     def keep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1023,8 +1115,12 @@ class AugmentStage:
                 type=t.schema.field("dur_ms").type)
         res = pa.table(cols)
         res = res.append_column("n_samples", pa.array(m))
+        # audit column = the APPLIED quantized factor (sr_synth / 1e4
+        # scaled to micro), not the raw draw — ADVICE r3: the pre-
+        # quantization draw could differ from the applied speed by up
+        # to ~50e-6 and round differently near an x.5e-4 boundary
         res = res.append_column("speed_micro", pa.array(
-            np.rint(speed * 1e6).astype(np.int64)))
+            sr_synth * (1_000_000 // _SPEED_QUANT)))
         res = res.append_column("gain_micro", pa.array(
             np.rint(gain * 1e6).astype(np.int64)))
         return res.append_column("snr_db_micro", pa.array(
@@ -1035,10 +1131,10 @@ class AugmentStage:
 def augment_clips(ds: rd.Dataset, *, seed: int = 0,
                   speed_range=(0.9, 1.1), gain_db_range=(-6.0, 6.0),
                   snr_db_range=(15.0, 30.0), id_col: str = "clip_id",
-                  concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:
-    return ds.map_batches(AugmentStage, fn_constructor_kwargs={
-        "seed": seed, "speed_range": speed_range,
-        "gain_db_range": gain_db_range, "snr_db_range": snr_db_range,
-        "id_col": id_col},
+                  concurrency=None, batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(
+        AugmentStage(seed=seed, speed_range=speed_range,
+                     gain_db_range=gain_db_range,
+                     snr_db_range=snr_db_range, id_col=id_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

@@ -18,6 +18,8 @@ nothing materializes the documents themselves after sketching.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -389,89 +391,291 @@ def simhash_sketch(ds: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Datas
 _SIMHASH_TILE = 4096         # pair-matrix tile edge: bounds any temp to
                              # tile² x 8 B (~134 MB) even in a hot bucket
 
+_PAIR_EMPTY = {"id_a": pd.Series(dtype="int64"),
+               "id_b": pd.Series(dtype="int64"),
+               "hamming": pd.Series(dtype="int64")}
+
+
+def _unique_hits(uh: np.ndarray, max_hamming: int):
+    """All (i < j, hamming) index pairs over an array of sketches —
+    tiled vectorized XOR + SWAR popcount (no per-pair Python)."""
+    ii, jj, dd_ = [], [], []
+    n = uh.size
+    for i0 in range(0, n, _SIMHASH_TILE):
+        a = uh[i0:i0 + _SIMHASH_TILE]
+        for j0 in range(i0, n, _SIMHASH_TILE):
+            b = uh[j0:j0 + _SIMHASH_TILE]
+            d = popcount64(a[:, None] ^ b[None, :])
+            hit = d <= max_hamming
+            if i0 == j0:
+                hit = np.triu(hit, k=1)
+            x, y = np.nonzero(hit)
+            if x.size:
+                ii.append(x + i0)
+                jj.append(y + j0)
+                dd_.append(d[x, y])
+    if not ii:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    return np.concatenate(ii), np.concatenate(jj), np.concatenate(dd_)
+
 
 def _simhash_bucket_pairs(ids: np.ndarray, hs: np.ndarray,
                           max_hamming: int) -> list[pd.DataFrame]:
-    """All (id_a < id_b, hamming) pairs within one LSH bucket —
-    vectorized XOR + byte-LUT popcount, tiled so a hot bucket (many
-    near-identical sketches) never materializes an unbounded n² temp."""
-    outs = []
-    n = ids.size
-    for i0 in range(0, n, _SIMHASH_TILE):
-        a_ids = ids[i0:i0 + _SIMHASH_TILE]
-        a_hs = hs[i0:i0 + _SIMHASH_TILE]
-        for j0 in range(i0, n, _SIMHASH_TILE):
-            b_ids = ids[j0:j0 + _SIMHASH_TILE]
-            b_hs = hs[j0:j0 + _SIMHASH_TILE]
-            d = popcount64(a_hs[:, None] ^ b_hs[None, :])
-            hit = d <= max_hamming
-            if i0 == j0:
-                hit = np.triu(hit, k=1)      # ids sorted -> id_a < id_b
-            a, b = np.nonzero(hit)
-            if a.size:
-                outs.append(pd.DataFrame({
-                    "id_a": a_ids[a].astype(np.int64),
-                    "id_b": b_ids[b].astype(np.int64),
-                    "hamming": d[a, b]}))
-    return outs
+    """All (id_a < id_b, hamming) pairs within one LSH bucket (ids
+    sorted ascending) — kept as the simple non-collapsing path for
+    direct use and tests; :func:`hamming_pairs` uses the
+    identical-sketch-collapsing form."""
+    i, j, d = _unique_hits(np.ascontiguousarray(hs, np.uint64), max_hamming)
+    if i.size == 0:
+        return []
+    return [pd.DataFrame({"id_a": ids[i].astype(np.int64),
+                          "id_b": ids[j].astype(np.int64),
+                          "hamming": d})]
+
+
+def _sparse_subset_keys(h: np.ndarray, k: int = 6) -> np.ndarray:
+    """(n,) uint64 constant-popcount-``k`` sketches -> (n, k) int64 LSH
+    keys: each key packs one leave-one-out (k-1)-subset of the sketch's
+    set-bit positions (6 bits per position, sorted — injective).
+
+    Equal popcounts make the hamming distance even, so ``<= 3`` means
+    ``<= 2``, i.e. the two sketches share >= k-1 set bits and their
+    common (k-1)-subset is a leave-one-out key of BOTH: the scheme is
+    EXACT for ``max_hamming <= 3``.  Keys stay high-entropy even for
+    sparse bitmasks — the failure mode of fixed 16-bit chunk bands,
+    where a 6-of-64-bit audio fingerprint's near-always-zero chunks put
+    93% of clips into ONE band bucket (round-3 measured scale-killer:
+    a single-task ~5e9-pair popcount)."""
+    n = h.size
+    if n == 0:
+        return np.zeros((0, k), np.int64)
+    bits = ((np.ascontiguousarray(h, np.uint64)[:, None]
+             >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(bool)
+    cnt = bits.sum(axis=1)
+    if not (cnt == k).all():
+        bad = np.flatnonzero(cnt != k)[:5]
+        raise ValueError(
+            f"sparse_topk LSH requires constant popcount {k}; rows "
+            f"{bad.tolist()} have {cnt[bad].tolist()} bits set — use "
+            "scheme='chunk16' for variable-popcount sketches")
+    pos = np.nonzero(bits)[1].reshape(n, k)            # sorted ascending
+    w = np.int64(1) << (np.int64(6) * np.arange(k - 1, dtype=np.int64))
+    keys = np.empty((n, k), np.int64)
+    for j in range(k):
+        cols = [c for c in range(k) if c != j]
+        keys[:, j] = (pos[:, cols] * w).sum(axis=1)
+    return keys
+
+
+def _clique_pairs_frame(members: np.ndarray, clique_cap: int | None,
+                        declined: list | None = None) -> pd.DataFrame:
+    """Pairs within one identical-sketch clique (members sorted by id).
+    Over ``clique_cap`` pairs, emit the connectivity-preserving star
+    (min-id -> each member, hamming 0) instead of the full m(m-1)/2
+    expansion and count the declined pairs into ``declined`` =
+    ``[n_pairs, n_events]`` (logged once per bucket task; no silent
+    caps — see :func:`hamming_clique_stats` for the audit pass)."""
+    m = members.size
+    npairs = m * (m - 1) // 2
+    if clique_cap is not None and npairs > clique_cap:
+        if declined is not None:
+            declined[0] += npairs - (m - 1)
+            declined[1] += 1
+        return pd.DataFrame({
+            "id_a": np.full(m - 1, members[0], np.int64),
+            "id_b": members[1:].astype(np.int64),
+            "hamming": np.zeros(m - 1, np.int64)})
+    i, j = np.triu_indices(m, k=1)
+    return pd.DataFrame({"id_a": members[i].astype(np.int64),
+                         "id_b": members[j].astype(np.int64),
+                         "hamming": np.zeros(i.size, np.int64)})
 
 
 def hamming_pairs(sketches: rd.Dataset, *, id_col="doc_id",
                   hash_col="simhash", max_hamming=3,
-                  num_buckets: int = 32) -> rd.Dataset:
+                  num_buckets: int = 32, scheme: str = "chunk16",
+                  clique_cap: int | None = None) -> rd.Dataset:
     """(id, 64-bit sketch) rows -> all pairs within ``max_hamming``.
 
-    4 x 16-bit band LSH: any pair within hamming <= 3 shares a chunk
-    (pigeonhole), so for ``max_hamming <= 3`` the output is EXACTLY the
-    hamming-ball pair set, not an approximation.  Pair generation is a
-    distributed Dataset end to end: per-bucket vectorized XOR+popcount
-    (no per-pair Python), multi-band duplicates removed by a second
-    bucketed groupby — nothing returns through the driver.  Sketch-
-    agnostic: simhash (text) and the audio spectral fingerprint
-    (``stages.audio_prep.fingerprint_clips``) both feed this."""
+    Two exact-for-``max_hamming <= 3`` LSH banding schemes:
+
+    - ``"chunk16"`` (default): 4 x 16-bit chunk bands — any pair within
+      hamming <= 3 shares a chunk (pigeonhole).  Right for dense
+      sketches (text simhash, whose bits are ~Bernoulli(1/2)).
+    - ``"sparse_topk"``: leave-one-out (k-1)-subset keys over the set
+      bit POSITIONS, for constant-popcount sketches (the 6-of-64-bit
+      audio spectral fingerprint).  See :func:`_sparse_subset_keys` —
+      chunk bands collapse catastrophically on sparse masks.
+
+    Pair generation is a distributed Dataset end to end and per bucket
+    it first COLLAPSES identical sketches: distance work runs over
+    DISTINCT sketch values only (a boilerplate corpus with one sketch
+    repeated 100k times does zero popcounts), clique pairs are emitted
+    once in the sketch's canonical bucket, and cross-clique hits expand
+    by member cross product.  ``clique_cap`` bounds any one clique's
+    emitted pairs (star edges past the cap — connectivity under
+    connected components is IDENTICAL; declined counts are logged and
+    auditable via :func:`hamming_clique_stats`); ``None`` = exact full
+    pair set.  Sketch-agnostic: simhash (text) and the audio spectral
+    fingerprint (``stages.audio_prep.fingerprint_clips``) both feed
+    this."""
     from .relational import bucketed_groupby
+
+    if scheme not in ("chunk16", "sparse_topk"):
+        raise ValueError(f"unknown LSH scheme {scheme!r}")
+    if scheme == "sparse_topk" and max_hamming > 3:
+        raise ValueError("sparse_topk subset LSH is exact only for "
+                         "max_hamming <= 3; use scheme='chunk16'")
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch[hash_col].to_numpy()
-        keys = simhash_band_matrix(h.astype(np.uint64), 4)     # (n, 4)
+        if scheme == "chunk16":
+            keys = simhash_band_matrix(h.astype(np.uint64), 4)   # (n, 4)
+            band_ids = np.arange(4, dtype=np.int64)
+        else:
+            keys = _sparse_subset_keys(h.astype(np.uint64))      # (n, 6)
+            # the shared subset sits at a DIFFERENT leave-out index in
+            # each sketch -> all bands share one id (match on key only)
+            band_ids = np.zeros(keys.shape[1], np.int64)
+        nb = keys.shape[1]
         n = len(batch)
         return pd.DataFrame({
-            id_col: np.repeat(batch[id_col].to_numpy(), 4),
-            "band_id": np.tile(np.arange(4, dtype=np.int64), n),
+            id_col: np.repeat(batch[id_col].to_numpy(), nb),
+            "band_id": np.tile(band_ids, n),
             "band_key": keys.reshape(-1),
-            hash_col: np.repeat(h, 4)})
+            hash_col: np.repeat(h, nb)})
+
+    def canonical_mask(uh: np.ndarray, band_id: int,
+                       band_key: int) -> np.ndarray:
+        # identical sketches collide in EVERY band; emit the clique's
+        # pairs only in one canonical bucket so the work isn't repeated
+        # nb times (the final distinct stage would mask it, not save it)
+        if scheme == "chunk16":
+            return np.full(uh.size, band_id == 0)
+        return _sparse_subset_keys(uh).min(axis=1) == band_key
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, sub in g.groupby(["band_id", "band_key"], sort=False):
+        declined = [0, 0]               # [pairs declined, cap events]
+        for (band_id, band_key), sub in g.groupby(["band_id", "band_key"],
+                                                  sort=False):
+            sub = sub.drop_duplicates(id_col).sort_values(id_col)
             if len(sub) < 2:
                 continue
-            sub = sub.drop_duplicates(id_col).sort_values(id_col)
-            outs.extend(_simhash_bucket_pairs(
-                sub[id_col].to_numpy(),
-                sub[hash_col].to_numpy().view(np.uint64), max_hamming))
+            ids = sub[id_col].to_numpy()
+            hs = sub[hash_col].to_numpy().view(np.uint64)
+            uh, inv = np.unique(hs, return_inverse=True)
+            order = np.argsort(inv, kind="stable")     # id-order kept
+            sorted_inv = inv[order]
+            bounds = np.searchsorted(sorted_inv, np.arange(uh.size + 1))
+            members = [ids[order[bounds[u]:bounds[u + 1]]]
+                       for u in range(uh.size)]
+            msz = np.diff(bounds)
+            # identical-sketch cliques (canonical bucket only)
+            canon = canonical_mask(uh, band_id, band_key)
+            for u in np.flatnonzero(canon & (msz > 1)):
+                outs.append(_clique_pairs_frame(members[u], clique_cap,
+                                                declined))
+            # cross pairs over DISTINCT sketches only
+            i, j, d = _unique_hits(uh, max_hamming)
+            if i.size == 0:
+                continue
+            both1 = (msz[i] == 1) & (msz[j] == 1)
+            if both1.any():
+                a = np.array([members[u][0] for u in i[both1]], np.int64)
+                b = np.array([members[u][0] for u in j[both1]], np.int64)
+                outs.append(pd.DataFrame({
+                    "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+                    "hamming": d[both1]}))
+            for x, y, dist in zip(i[~both1], j[~both1], d[~both1]):
+                ma, mb = members[x], members[y]
+                tot = ma.size * mb.size
+                if clique_cap is not None and tot > clique_cap:
+                    # both cliques are internally connected (full pairs
+                    # or star) -> one rep-rep edge preserves components
+                    declined[0] += tot - 1
+                    declined[1] += 1
+                    a = np.array([ma[0]]); b = np.array([mb[0]])
+                    dist = np.array([dist])
+                else:
+                    a = np.repeat(ma, mb.size)
+                    b = np.tile(mb, ma.size)
+                    dist = np.full(tot, dist)
+                outs.append(pd.DataFrame({
+                    "id_a": np.minimum(a, b).astype(np.int64),
+                    "id_b": np.maximum(a, b).astype(np.int64),
+                    "hamming": dist.astype(np.int64)}))
+        if declined[0]:
+            logging.getLogger(__name__).warning(
+                "hamming_pairs: clique_cap=%d declined %d pairs across "
+                "%d oversized cliques/cross-products in this bucket task "
+                "(star / rep-rep edges emitted; connected components "
+                "unchanged — audit with hamming_clique_stats)",
+                clique_cap, declined[0], declined[1])
         if not outs:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
+            return pd.DataFrame(_PAIR_EMPTY)
         return pd.concat(outs, ignore_index=True)
 
     exploded = sketches.map_batches(explode, batch_format="pandas")
     pairs = bucketed_groupby(exploded, ["band_id", "band_key"], per_bucket,
                              num_buckets=num_buckets)
-    # a pair surfaces once per colliding band -> distinct, distributed
+    if scheme == "sparse_topk":
+        # no distinct stage needed: a d=2 pair shares EXACTLY one
+        # 5-subset (|A∩B| = 5 -> one common 5-set) so it surfaces in
+        # exactly one bucket, and d=0 cliques emit only in their
+        # canonical bucket — skipping the dedupe saves a full shuffle
+        # of the pair set (180 MB at 7.5M candidate pairs, sf0.1)
+        return pairs
+    # chunk16: a pair can surface once per colliding band -> distinct
     return bucketed_groupby(
         pairs, ["id_a", "id_b"],
         lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=16)
 
 
+def hamming_clique_stats(sketches: rd.Dataset, *, hash_col="simhash",
+                         clique_cap: int | None = None,
+                         num_buckets: int = 16) -> pd.DataFrame:
+    """No-silent-caps companion to :func:`hamming_pairs` (the
+    ``ngram_df_stats`` analog): one distributed pass reporting the
+    identical-sketch clique structure and exactly how many pairs a
+    given ``clique_cap`` would decline into star edges —
+    ``(n_rows, n_sketches, max_clique, clique_pairs, declined_pairs)``."""
+    from .relational import bucketed_groupby
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby(hash_col, sort=False).size().to_numpy()
+        pairs = sz * (sz - 1) // 2
+        declined = np.int64(0)
+        if clique_cap is not None:
+            over = pairs > clique_cap
+            declined = np.int64((pairs[over] - (sz[over] - 1)).sum())
+        return pd.DataFrame({
+            "n_rows": [np.int64(sz.sum())],
+            "n_sketches": [np.int64(sz.size)],
+            "max_clique": [np.int64(sz.max()) if sz.size else np.int64(0)],
+            "clique_pairs": [np.int64(pairs.sum())],
+            "declined_pairs": [declined]})
+
+    parts = bucketed_groupby(sketches, [hash_col], per_bucket,
+                             num_buckets=num_buckets).to_pandas()
+    return pd.DataFrame({
+        "n_rows": [parts["n_rows"].sum()],
+        "n_sketches": [parts["n_sketches"].sum()],
+        "max_clique": [parts["max_clique"].max() if len(parts) else 0],
+        "clique_pairs": [parts["clique_pairs"].sum()],
+        "declined_pairs": [parts["declined_pairs"].sum()]})
+
+
 def simhash_candidates(ds: rd.Dataset, *, max_hamming=3, text_col="text",
-                       id_col="doc_id", num_buckets: int = 32) -> rd.Dataset:
+                       id_col="doc_id", num_buckets: int = 32,
+                       clique_cap: int | None = None) -> rd.Dataset:
     """documents -> near-dup pairs by simhash hamming distance (sketch
     stage + the sketch-agnostic :func:`hamming_pairs` LSH)."""
     return hamming_pairs(simhash_sketch(ds, text_col, id_col),
                          id_col=id_col, hash_col="simhash",
-                         max_hamming=max_hamming, num_buckets=num_buckets)
+                         max_hamming=max_hamming, num_buckets=num_buckets,
+                         clique_cap=clique_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -699,6 +903,16 @@ def dedup_against_corpus(new: rd.Dataset, corpus: rd.Dataset, *,
     fingerprints cross the shuffle, never its text), then exact-dedup
     WITHIN the shard (smallest id wins, duplicate count carried).
     Output: (doc_id, n_dups) of the surviving new docs.
+
+    Collision bound (ADVICE r3): fingerprint equality stands in for
+    text equality, so a 64-bit collision (2^-64 per cross pair; by the
+    birthday bound material only as the corpus approaches ~2^32 docs)
+    would silently drop a genuinely-new doc or merge two distinct ones.
+    That is the same trade every hash-fingerprint path in this repo
+    makes (``exact_dedup``, the substring window hashes); at 10^12-doc
+    scale, widen ``fingerprint64`` to 128 bits or re-verify text on
+    match within each anti-join bucket (the join already co-locates the
+    colliding rows) rather than trusting 64 bits.
 
     Reference analog: the kill-set invalidation in ReachingDefs
     (passes/src/reaching_defs.rs:38-60) — membership in an existing

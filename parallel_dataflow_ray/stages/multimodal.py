@@ -19,10 +19,11 @@ from ..functions.audio import bytes_per_sample, decode_clip, SUPPORTED_CODECS
 
 
 class AudioFeatureStage:
-    """Actor-pool stage: decode audio bytes -> per-clip features.
+    """Instance-as-UDF stage: decode audio bytes -> per-clip features.
 
-    Stateful-by-actor (decoder tables built once in ``__init__``);
-    emits scalar features only — decoded PCM never enters the object
+    Stateless (decode tables are module-level), so it runs as a task
+    pool, not actors — see the pool-policy note in stages/audio_prep.py.
+    Emits scalar features only — decoded PCM never enters the object
     store (a 100 TB stream of clips must not become 200 TB of floats).
     Use small ``batch_size`` for wide binary rows.
     """
@@ -31,30 +32,32 @@ class AudioFeatureStage:
         self.q = quantize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bts = batch["bytes"].to_pylist()
-        codecs = batch["codec"].to_pylist()
-        n = len(bts)
-        n_samples = np.zeros(n, dtype=np.int64)
-        rms_q = np.zeros(n, dtype=np.int64)
-        peak_q = np.zeros(n, dtype=np.int64)
-        for i, (b, c) in enumerate(zip(bts, codecs)):
-            pcm = decode_clip(b, c)
-            n_samples[i] = pcm.size
-            if pcm.size:
-                rms_q[i] = int(round(float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64)))) * self.q))
-                peak_q[i] = int(round(float(np.max(np.abs(pcm))) * self.q))
+        # flat-vectorized like every other audio stage: ONE decode per
+        # codec group, then reduceat passes (the per-row decode_clip
+        # loop this replaces was the last row-loop on the audio path)
+        from .audio_prep import decode_flat, per_clip_peak, per_clip_rms
+
+        flat, lens, off = decode_flat(batch["bytes"].to_pylist(),
+                                      batch["codec"].to_pylist())
+        r = per_clip_rms(flat, lens, off)
+        p = per_clip_peak(flat, lens, off)
         out = batch.drop_columns(["bytes"])
-        out = out.append_column("n_samples", pa.array(n_samples))
-        out = out.append_column("rms_q20", pa.array(rms_q))
-        out = out.append_column("peak_q20", pa.array(peak_q))
+        out = out.append_column("n_samples", pa.array(lens))
+        out = out.append_column(
+            "rms_q20", pa.array(np.rint(r * self.q).astype(np.int64)))
+        out = out.append_column(
+            "peak_q20", pa.array(np.rint(p * self.q).astype(np.int64)))
         return out
 
 
-def audio_features(ds: rd.Dataset, *, concurrency=(1, 8), batch_size=256
+def audio_features(ds: rd.Dataset, *, concurrency=None, batch_size=256
                    ) -> rd.Dataset:
-    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
-                          num_cpus=1)
+    # instance-as-UDF task pool: no per-actor state, uses every free
+    # CPU, cannot deadlock against other stages (see the pool-policy
+    # note in stages/audio_prep.py)
+    return ds.map_batches(AudioFeatureStage(), batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
 
 
 def validate_clip_sizes(ds: rd.Dataset) -> rd.Dataset:

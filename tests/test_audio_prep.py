@@ -607,7 +607,7 @@ def test_curate_clips_vs_brute_force(ray_session):
 def test_resample_stage_ray_end_to_end(ray_session):
     ds = clips_dataset(60, seed=21, blocks=4)
     from parallel_dataflow_ray.stages.audio_prep import resample_clips
-    out = resample_clips(ds, 16000, concurrency=(1, 2), batch_size=16)
+    out = resample_clips(ds, 16000, concurrency=2, batch_size=16)
     df = out.to_pandas().sort_values("clip_id").reset_index(drop=True)
     assert len(df) == 60
     assert (df["sr_hz"] == 16000).all()
@@ -697,13 +697,13 @@ def test_augment_clips_e2e(ray_session):
     from parallel_dataflow_ray.stages.audio_prep import augment_clips
 
     ds = clips_dataset(64, seed=4)
-    out = augment_clips(ds, seed=1, concurrency=(1, 2)).to_pandas()
+    out = augment_clips(ds, seed=1, concurrency=2).to_pandas()
     assert len(out) == 64
     assert (out["codec"] == "pcm16").all()
     assert out["speed_micro"].between(900_000, 1_100_000).all()
     # deterministic across runs
     out2 = augment_clips(clips_dataset(64, seed=4), seed=1,
-                         concurrency=(1, 2)).to_pandas()
+                         concurrency=2).to_pandas()
     a = out.sort_values("clip_id").reset_index(drop=True)
     b = out2.sort_values("clip_id").reset_index(drop=True)
     assert a.equals(b)
