@@ -51,6 +51,7 @@ BATCH_QUERIES = [
     "decontaminate_docs", "decontaminate_docs_bloom",
     "dedup_incremental_docs", "chunk_docs", "source_mixture",
     "augment_clips", "kmeans_embeddings",
+    "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
 ]
 
 

@@ -118,3 +118,71 @@ def bpe_token_count(texts: pd.Series) -> np.ndarray:
     bit-exact).  Vectorized: one ``str.count`` pass over the series."""
     return (texts.fillna("").str.count(BPE_PRETOKEN_RE)
                  .to_numpy(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, public ruleset)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "a")
+
+
+def gopher_stats(texts: pd.Series) -> dict[str, np.ndarray]:
+    """Vectorized Gopher-rule quality signals, all exact-integer so the
+    DuckDB twin hash-matches: word count, mean word length (milli),
+    symbol-to-word ratio (milli; '#' runs + non-overlapping '...'),
+    stopword presence count, and the composite ``keep`` flag with the
+    published thresholds (50 <= words <= 100k, 3 <= mean word length
+    <= 10, symbol ratio < 0.1, >= 2 distinct stopwords present).
+
+    Tokenization is the repo-wide SQL convention: split on single
+    spaces (``string_split(text, ' ')``), so empty tokens count."""
+    import re
+
+    t = texts.fillna("")
+    n_words = t.str.count(" ").to_numpy(np.int64) + 1
+    chars = t.str.len().to_numpy(np.int64)
+    word_chars = chars - (n_words - 1)
+    mean_wlen_milli = (word_chars * 1000) // n_words
+    n_sym = (t.str.count("#", flags=0).to_numpy(np.int64)
+             + t.str.count(re.escape("...")).to_numpy(np.int64))
+    symbol_milli = (n_sym * 1000) // n_words
+    padded = " " + t + " "
+    stop_hits = np.zeros(len(t), np.int64)
+    for w in GOPHER_STOPWORDS:
+        stop_hits += padded.str.contains(f" {w} ", regex=False
+                                         ).to_numpy(bool)
+    keep = ((n_words >= 50) & (n_words <= 100_000)
+            & (mean_wlen_milli >= 3000) & (mean_wlen_milli <= 10_000)
+            & (symbol_milli < 100) & (stop_hits >= 2))
+    return {"n_words": n_words, "mean_wlen_milli": mean_wlen_milli,
+            "symbol_milli": symbol_milli, "stop_hits": stop_hits,
+            "keep": keep}
+
+
+def dup_ngram_stats(texts: pd.Series, k: int = 3) -> dict[str, np.ndarray]:
+    """Intra-document repetition: per doc, the number of word
+    ``k``-grams, distinct k-grams, and the duplicate fraction in milli
+    (``(n - distinct) * 1000 // n``) — the Gopher repetition-rule shape
+    (a high duplicate-n-gram fraction marks boilerplate / looped text).
+    Tokens split on single spaces to match ``string_split(text, ' ')``;
+    k-grams are positions i..i+k-1 joined by spaces (the DuckDB twin's
+    ``array_to_string(w[i:i+k-1], ' ')``).  Per-doc loop over an
+    inherently per-doc structure; the hashing is C (``hash``) and the
+    op is shuffle-free."""
+    t = texts.fillna("")
+    n_grams = np.zeros(len(t), np.int64)
+    n_distinct = np.zeros(len(t), np.int64)
+    for i, s in enumerate(t):
+        toks = s.split(" ")
+        n = len(toks) - k + 1
+        if n < 1:
+            continue
+        seen = {" ".join(toks[j:j + k]) for j in range(n)}
+        n_grams[i] = n
+        n_distinct[i] = len(seen)
+    dup_milli = np.where(n_grams > 0,
+                         (n_grams - n_distinct) * 1000 // np.maximum(n_grams, 1),
+                         0).astype(np.int64)
+    return {"n_grams": n_grams, "n_distinct": n_distinct,
+            "dup_milli": dup_milli}

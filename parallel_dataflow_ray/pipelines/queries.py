@@ -1654,48 +1654,104 @@ def curate_clips_q(sf_dir: str):
 # query comes first (the 5 SQL-gated CEP-engine queries right after
 # their batch twins: those rows are the engine-under-driver-oracle
 # headline), and rows-only entries (weaker check by design) come last.
+def gopher_quality_docs(sf_dir: str):
+    """Gopher-rule document quality flags (Rae et al. 2021, public
+    ruleset): word count, mean word length, symbol-to-word ratio,
+    stopword presence and the composite keep flag — all exact-integer
+    (milli-quantized) so the DuckDB twin hash-matches.  Shuffle-free
+    vectorized map."""
+    from ..functions.text import gopher_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        g = gopher_stats(b["text"])
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_words": g["n_words"],
+                             "mean_wlen_milli": g["mean_wlen_milli"],
+                             "symbol_milli": g["symbol_milli"],
+                             "stop_hits": g["stop_hits"],
+                             "keep": g["keep"]})
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def repetition_docs(sf_dir: str):
+    """Intra-document repetition (the Gopher duplicate-n-gram rule):
+    per doc, word-3-gram count, distinct count, and the duplicate
+    fraction in milli — boilerplate/looped text scores high.  Exact
+    integers; shuffle-free (each doc's grams stay inside its batch,
+    contrast the corpus-wide inverted index of
+    ``ngram_jaccard_neardup``)."""
+    from ..functions.text import dup_ngram_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        g = dup_ngram_stats(b["text"], k=3)
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_grams": g["n_grams"],
+                             "n_distinct": g["n_distinct"],
+                             "dup_milli": g["dup_milli"]})
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+AUDIO_SHARD_MS = 60_000      # one training shard = 60 s of audio
+
+
+def pack_audio_shards(sf_dir: str):
+    """Audio training-shard layout — the payload-axis analog of
+    ``pack_token_shards``: each clip's (shard_id, shard_offset) in the
+    global DURATION stream (ordered by clip_id) chunked every 60 s.
+    Clip durations are derived deterministically from the orders table
+    (clip_id = o_orderkey, dur_ms = 300 + key % 1500 — the same
+    derivation the SQL twin applies), so the two-pass distributed
+    prefix scan (``packing.token_shards``) is driver-oracle-gated on
+    real shuffle-shaped data."""
+    from ..stages.packing import token_shards
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def clips(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({"clip_id": k, "dur_ms": 300 + (k % 1500)})
+
+    out = token_shards(ds.map_batches(clips, batch_format="pandas"),
+                       "clip_id", "dur_ms", AUDIO_SHARD_MS)
+    return out.map_batches(lambda b: b.rename(columns={
+        "pack_id": "shard_id", "pack_offset": "shard_offset"}),
+        batch_format="pandas")
+
+
 QUERIES = {
-    # -- oracle-gated (DuckDB hash-match) --------------------------------
+    # ---- head-50: the driver's CORRECTNESS sweep records exactly the
+    # first 50 entries, so ordering is load-bearing (see COVERAGE.md
+    # 'Driver-window rotation').  Round-4 window: 32 keepers + the 15
+    # entries displaced in r2/r3 (whose last driver-green rows are
+    # r02) rotated back in + the 3 new round-4 queries.
     "q1_pricing_summary": q1_pricing_summary,
-    "filter_high_value": filter_high_value,
     "q3_top_orders": q3_top_orders,
     "asof_signup_before_error": asof_signup_before_error,
     "semi_join_customers": semi_join_customers,
-    "anti_join_customers": anti_join_customers,
-    "left_join_customer_orders": left_join_customer_orders,
-    "outer_join_user_activity": outer_join_user_activity,
     "range_join_error_after_signup": range_join_error_after_signup,
     "brand_revenue_by_nation": brand_revenue_by_nation,
-    "topk_orders": topk_orders,
-    "props_k_by_type": props_k_by_type,
     "q6_revenue": q6_revenue,
     "distinct_users_by_type": distinct_users_by_type,
-    "scrub_props": scrub_props,
-    "running_user_totals": running_user_totals,
-    "pivot_event_counts": pivot_event_counts,
     "stream_tumbling_events": stream_tumbling_events,
-    "stream_sliding_events": stream_sliding_events,
-    "stream_session_events": stream_session_events,
     "stream_join_events": stream_join_events,
     "stream_join_events_salted": stream_join_events_salted,
     "funnel_events": funnel_events,
-    "funnel_no_error_events": funnel_no_error_events,
     "stream_funnel_events": stream_funnel_events,
     "kleene_funnel_events": kleene_funnel_events,
     "stream_kleene_events": stream_kleene_events,
     "stream_topk_event_types": stream_topk_event_types,
-    "user_event_sequences": user_event_sequences,
-    "token_stats": token_stats,
-    "split_docs": split_docs,
-    "balanced_docs": balanced_docs,
     "exact_dedup_docs": exact_dedup_docs,
     "dup_spans_docs": dup_spans_docs,
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
     "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
     "topk_users_hourly": topk_users_hourly,
-    "docs_quality": docs_quality,
-    "langid_docs": langid_docs,
     "decontaminate_docs": decontaminate_docs,
     "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "dedup_incremental_docs": dedup_incremental_docs,
@@ -1706,36 +1762,48 @@ QUERIES = {
     "knn_topk": knn_topk,
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
-    "ann_self_topk": ann_self_topk,
-    "quantiles_lineitem": quantiles_lineitem,
-    "heavy_bigrams": heavy_bigrams,
-    # displaced from the head-50 in round 3 to make room for the
-    # round-3 shapes above (decontamination / incremental dedup /
-    # chunking / mixture / packing, none of which ever had a driver
-    # row): all five hash-matched the driver's own oracle in r02
-    # (CORRECTNESS_r02.json) and their semantics stay covered —
-    # sort_events by the range-partition test + topk family,
-    # lang_count by langid_docs, stratified_docs by the
-    # split/balanced sampling family
+    # round-4 additions (declared in tests/test_driver_rotation.py
+    # PENDING_FIRST_DRIVER_WINDOW until their first recorded sweep)
+    "gopher_quality_docs": gopher_quality_docs,
+    "repetition_docs": repetition_docs,
+    "pack_audio_shards": pack_audio_shards,
+    # displaced-in-r2/r3 entries rotated back through the window
     "sort_events": sort_events,
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
-    # last oracle-gated entries: shapes already driver-green in rounds
-    # 1-2 (the tumbling/sliding batch twins hash-matched in r02; their
-    # stream_ engine variants above re-cover the semantics) — if the
-    # driver's sweep caps at 50 entries again, these are the rows it
-    # can most afford to re-skip
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
     "session_events": session_events,
     "bpe_token_stats": bpe_token_stats,
-    # brand_revenue_by_nation (3-chain broadcast) supersedes the
-    # single-lookup broadcast_region_count for driver coverage
     "broadcast_region_count": broadcast_region_count,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
     "distinct_event_types": distinct_event_types,
+    "ann_self_topk": ann_self_topk,
+    "quantiles_lineitem": quantiles_lineitem,
+    "heavy_bigrams": heavy_bigrams,
+    # ---- gated but past the head-50 this round: all 18 are
+    # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
+    # keep passing the identical pytest DuckDB gate every run
+    "filter_high_value": filter_high_value,
+    "anti_join_customers": anti_join_customers,
+    "left_join_customer_orders": left_join_customer_orders,
+    "outer_join_user_activity": outer_join_user_activity,
+    "topk_orders": topk_orders,
+    "props_k_by_type": props_k_by_type,
+    "scrub_props": scrub_props,
+    "running_user_totals": running_user_totals,
+    "pivot_event_counts": pivot_event_counts,
+    "stream_sliding_events": stream_sliding_events,
+    "stream_session_events": stream_session_events,
+    "funnel_no_error_events": funnel_no_error_events,
+    "user_event_sequences": user_event_sequences,
+    "token_stats": token_stats,
+    "split_docs": split_docs,
+    "balanced_docs": balanced_docs,
+    "docs_quality": docs_quality,
+    "langid_docs": langid_docs,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
     "kmeans_embeddings": kmeans_embeddings,
@@ -2528,6 +2596,65 @@ FROM r WHERE rn <= 2 GROUP BY user_id, w
     "stream_join_events_salted": _JOIN_SQL,
     "docs_quality": _QUALITY_SQL,
     "langid_docs": _langid_sql(),
+    "gopher_quality_docs": """
+WITH t AS (SELECT doc_id, COALESCE(text, '') AS tx FROM documents),
+g AS (SELECT doc_id, tx,
+             len(string_split(tx, ' ')) AS n_words,
+             len(tx) AS chars,
+             (len(tx) - len(replace(tx, '#', '')))
+               + (len(tx) - len(replace(tx, '...', ''))) // 3 AS n_sym
+      FROM t),
+h AS (SELECT doc_id, n_words,
+             ((chars - (n_words - 1)) * 1000) // n_words AS mean_wlen_milli,
+             (n_sym * 1000) // n_words AS symbol_milli,
+             (CASE WHEN ' '||tx||' ' LIKE '% the %' THEN 1 ELSE 0 END
+            + CASE WHEN ' '||tx||' ' LIKE '% and %' THEN 1 ELSE 0 END
+            + CASE WHEN ' '||tx||' ' LIKE '% of %' THEN 1 ELSE 0 END
+            + CASE WHEN ' '||tx||' ' LIKE '% to %' THEN 1 ELSE 0 END
+            + CASE WHEN ' '||tx||' ' LIKE '% a %' THEN 1 ELSE 0 END)
+               AS stop_hits
+      FROM g)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,
+       CAST(symbol_milli AS BIGINT) AS symbol_milli,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_wlen_milli BETWEEN 3000 AND 10000
+        AND symbol_milli < 100 AND stop_hits >= 2) AS keep
+FROM h
+""",
+    "repetition_docs": """
+WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+           FROM documents),
+e AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 3),
+a AS (SELECT doc_id, COUNT(*) AS n_grams,
+             COUNT(DISTINCT gram) AS n_distinct
+      FROM e GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE((a.n_grams - a.n_distinct) * 1000 // a.n_grams, 0)
+            AS BIGINT) AS dup_milli
+FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+""",
+    "pack_audio_shards": """
+WITH d AS (SELECT o_orderkey AS clip_id,
+                  300 + (o_orderkey % 1500) AS dur_ms FROM orders),
+o AS (SELECT clip_id, dur_ms,
+             COALESCE(SUM(dur_ms) OVER
+               (ORDER BY clip_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM d)
+SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       CAST(dur_ms AS BIGINT) AS dur_ms,
+       CAST(off // 60000 AS BIGINT) AS shard_id,
+       CAST(off % 60000 AS BIGINT) AS shard_offset
+FROM o
+""",
     # rows-only (non-SQL-expressible): fingerprint_docs (SipHash keyed
     # hash has no DuckDB twin), minhash_neardup, simhash_neardup
     # (sketches), ivf_topk (approximate), stream_audio_energy,

@@ -21,7 +21,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Queries added since the last recorded driver sweep: they ride the
 # pytest mirror gate until the next CORRECTNESS_r*.json lands, at which
 # point they must either be green there or be moved out of this set.
-PENDING_FIRST_DRIVER_WINDOW: set[str] = set()
+PENDING_FIRST_DRIVER_WINDOW: set[str] = {
+    # round-4 additions, placed in the head-50 window
+    "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
+}
 
 
 def _driver_green() -> dict[str, list[str]]:
