@@ -52,6 +52,7 @@ BATCH_QUERIES = [
     "dedup_incremental_docs", "chunk_docs", "source_mixture",
     "augment_clips", "kmeans_embeddings",
     "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
+    "semdedup_embeddings",
 ]
 
 

@@ -1084,6 +1084,34 @@ def stream_audio_spectral(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def stream_content_dedup_clips(sf_dir: str):
+    """Streaming CONTENT-level ingest dedup (rows-only; oracle parity +
+    ooo delivery + partition counts covered by the differential suite):
+    the fixture re-issues every 9th clip's exact payload under a FRESH
+    clip_id (the re-crawl case clip_id dedup cannot catch) -> the
+    ContentDedup kernel keeps each distinct payload's first occurrence
+    per (speaker, window) and counts content dups."""
+    import pyarrow as pa
+
+    from ..streaming.kernels import ContentDedup
+    table = clips_table(400, seed=42, lateness_ms=40, n_speakers=7)
+    # plant re-crawls: same (codec, bytes), fresh clip_id, later offset
+    pdf = table.to_pandas()
+    re_crawl = pdf.iloc[::9].copy()
+    re_crawl["clip_id"] = re_crawl["clip_id"] + "-recrawl"
+    re_crawl["offset"] = re_crawl["offset"] + 1_000_000
+    planted = pd.concat([pdf, re_crawl], ignore_index=True)         .sort_values("event_ts", kind="mergesort").reset_index(drop=True)
+    epochs = epochs_from_table(
+        pa.Table.from_pandas(planted, preserve_index=False), 97)
+    eng = StreamEngine("window",
+                       {"spec": ContentDedup(),
+                        "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
 def stream_dedup_clips(sf_dir: str):
     """Streaming ingest dedup (rows-only): clips stream with a dup
     every 13 rows -> FirstSeen kernel keeps each clip_id's first
@@ -1724,6 +1752,19 @@ def pack_audio_shards(sf_dir: str):
         batch_format="pandas")
 
 
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (rows-only; distributed output asserted equal to a driver-local
+    twin sharing the bit-identical kmeans centroids, planted exact
+    duplicates collapse — tests/test_similarity.py): k-means clusters
+    -> within-cluster cosine components (>= 0.96) -> canonical min-id
+    survivors with duplicate-group sizes."""
+    from ..stages.similarity import semdedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, n_clusters=8, threshold=0.96)
+
+
 QUERIES = {
     # ---- head-50: the driver's CORRECTNESS sweep records exactly the
     # first 50 entries, so ordering is load-bearing (see COVERAGE.md
@@ -1807,9 +1848,11 @@ QUERIES = {
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
     "kmeans_embeddings": kmeans_embeddings,
+    "semdedup_embeddings": semdedup_embeddings,
     "stream_audio_energy": stream_audio_energy,
     "stream_audio_spectral": stream_audio_spectral,
     "stream_dedup_clips": stream_dedup_clips,
+    "stream_content_dedup_clips": stream_content_dedup_clips,
     "stream_vocab_clips": stream_vocab_clips,
     "audio_features": audio_features_q,
     "fingerprint_docs": fingerprint_docs,

@@ -442,3 +442,101 @@ def brute_force_topk_q8(qds: rd.Dataset, queries: np.ndarray, k: int,
     res = pd.concat(out, ignore_index=True)
     res["cos_milli"] = np.rint(res["cos"] * 1000).astype(np.int64)
     return res[["query_id", "rank", id_col, "cos_milli"]]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, public method)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TILE = 4096      # pair-matrix tile edge inside a cluster
+
+
+def semdedup(ds: rd.Dataset, *, n_clusters: int = 8,
+             threshold: float = 0.96, iters: int = 5, seed: int = 7,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             num_buckets: int = 16) -> rd.Dataset:
+    """SemDeDup: k-means the embedding space, then WITHIN each cluster
+    drop all but the canonical (min-id) member of every semantic
+    near-duplicate group (cosine >= ``threshold``, connected
+    components).  The published recipe's two-level shape is exactly
+    what makes it scale: the k-means pass is O(n x k) matmuls with an
+    O(k x batches) shuffle (``kmeans_fit``), and the quadratic cosine
+    work is confined to single clusters — at 10^12 rows, raise
+    ``n_clusters`` so clusters stay ~10-100k rows and each per-cluster
+    task is one tiled matmul.
+
+    Determinism: centroids are bit-identical to a driver-local twin
+    (``kmeans_fit``'s quantized reductions), and the keep/drop gate
+    compares ``round(cos * 2^20)`` so it is batch/partition invariant.
+    Output: ONE row per surviving vector — (id, cluster, n_semdups)
+    where n_semdups is its duplicate-group size (1 = no near-dup).
+    """
+    from .relational import bucketed_groupby
+
+    C, _ = kmeans_fit(ds, n_clusters, iters=iters, seed=seed,
+                      vec_col=vec_col, id_col=id_col)
+    cref = ray.put(C)
+    thr_q = int(round(threshold * (1 << 20)))
+
+    class AssignWithVec:
+        """(id, vector) -> (id, cluster, vector): the only stage that
+        moves vectors, and it moves each exactly once into its
+        cluster's bucket."""
+
+        def __init__(self):
+            self.C: np.ndarray | None = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.C is None:
+                self.C = ray.get(cref)
+            X = _stack(batch, vec_col)
+            return pd.DataFrame({
+                id_col: batch[id_col].to_numpy(),
+                "cluster": np.argmax(X @ self.C.T, axis=1).astype(np.int64),
+                vec_col: list(X)})
+
+    assigned = ds.map_batches(AssignWithVec(), batch_format="pandas",
+                              batch_size=8192)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, sub in g.groupby("cluster", sort=False):
+            sub = sub.sort_values(id_col, kind="mergesort")
+            ids = sub[id_col].to_numpy()
+            X = np.stack(sub[vec_col].to_numpy())
+            m = ids.size
+            parent = np.arange(m)
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i0 in range(0, m, _SEMDEDUP_TILE):
+                A = X[i0:i0 + _SEMDEDUP_TILE]
+                for j0 in range(i0, m, _SEMDEDUP_TILE):
+                    B = X[j0:j0 + _SEMDEDUP_TILE]
+                    q = np.rint((A @ B.T) * (1 << 20)).astype(np.int64)
+                    hit = q >= thr_q
+                    if i0 == j0:
+                        hit = np.triu(hit, k=1)
+                    for a, b in zip(*np.nonzero(hit)):
+                        ra, rb = find(i0 + a), find(j0 + b)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+            roots = np.array([find(i) for i in range(m)])
+            sizes = np.bincount(roots, minlength=m)
+            keep = roots == np.arange(m)         # min-id per component
+            outs.append(pd.DataFrame({
+                id_col: ids[keep],
+                "cluster": np.full(int(keep.sum()), cl, np.int64),
+                "n_semdups": sizes[keep].astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "n_semdups": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_groupby(assigned, ["cluster"], per_cluster,
+                            num_buckets=num_buckets)

@@ -110,6 +110,87 @@ class FirstSeen(StreamOpSpec):
                 "firsts": ";".join(f"{c}@{o}" for c, o in firsts)}
 
 
+class ContentDedup(StreamOpSpec):
+    """Streaming CONTENT-level ingest dedup: first occurrence of each
+    distinct audio PAYLOAD per (speaker, window) — catches the re-crawl
+    case ``FirstSeen`` (clip_id dedup) cannot: the same recording
+    re-issued under a fresh clip_id.  Content identity = 64-bit
+    blake2b of (codec, bytes) — the 2^-64-per-pair collision trade
+    documented on every fingerprint path (``dedup_against_corpus``).
+    State = {fp: (min offset, its clip_id)}; the meet is element-wise
+    MIN over disjoint partials (FirstSeen's semilattice), so partial
+    merge and idempotent epoch replay are safe by the same argument."""
+
+    name = "content_dedup"
+    key_column = "speaker_id"
+    value_columns = ("bytes", "codec", "clip_id")
+
+    @staticmethod
+    def _fp(codec: str, payload: bytes) -> int:
+        import hashlib
+        h = hashlib.blake2b(codec.encode() + b"\0" + (payload or b""),
+                            digest_size=8).digest()
+        return int.from_bytes(h, "little")
+
+    def initial_state(self) -> dict:
+        return {"first": {}, "n_rows": 0}
+
+    def merge(self, a: dict, b: dict) -> dict:
+        out = dict(a["first"])
+        for k, v in b["first"].items():
+            if k not in out or v < out[k]:
+                out[k] = v
+        return {"first": out, "n_rows": a["n_rows"] + b["n_rows"]}
+
+    def update(self, state: dict, rows: list[dict]) -> dict:
+        f = state["first"]
+        for r in rows:
+            fp = self._fp(r["codec"], r["bytes"])
+            v = (r["offset"], r["clip_id"])
+            if fp not in f or v < f[fp]:
+                f[fp] = v
+            state["n_rows"] += 1
+        return state
+
+    def update_table(self, state: dict, t) -> dict:
+        """Vectorized-ish path: zero-copy payload views over the Arrow
+        binary buffer; the per-row work is one C blake2b call."""
+        import hashlib
+
+        import pyarrow as pa
+
+        col = t["bytes"]
+        if col.num_chunks == 0:
+            return state
+        ba = (col.chunk(0) if col.num_chunks == 1
+              else pa.concat_arrays(col.chunks))
+        bufs = ba.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            ba.offset:ba.offset + len(ba) + 1]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        codecs = t["codec"].to_pylist()
+        offsets = t["offset"].to_numpy()
+        clip_ids = t["clip_id"].to_pylist()
+        f = state["first"]
+        for i in range(len(ba)):
+            h = hashlib.blake2b(codecs[i].encode(), digest_size=8)
+            h.update(b"\0")
+            h.update(data[offs[i]:offs[i + 1]])
+            fp = int.from_bytes(h.digest(), "little")
+            v = (int(offsets[i]), clip_ids[i])
+            if fp not in f or v < f[fp]:
+                f[fp] = v
+        state["n_rows"] += len(ba)
+        return state
+
+    def finish(self, key, window, state) -> dict:
+        firsts = sorted(state["first"].items())
+        return {"key": key, **_fmt_window(window),
+                "n_unique_payloads": len(firsts),
+                "n_content_dups": state["n_rows"] - len(firsts),
+                "firsts": ";".join(f"{c}@{o}" for _, (o, c) in firsts)}
+
+
 class ReverseLiveWords(StreamOpSpec):
     """K2: backward fold. Treat a transcript's first word as the "dest"
     and the rest as "args" (the LiveVars transfer shape,
@@ -749,7 +830,8 @@ class VocabSketch(StreamOpSpec):
 
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
-    (ActiveVersions, FirstSeen, ReverseLiveWords, MetaConstants,
+    (ActiveVersions, FirstSeen, ContentDedup, ReverseLiveWords,
+     MetaConstants,
      CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
      CodecKleene, TopWords, QuantileHist, ClipProfile, VocabSketch)
 }

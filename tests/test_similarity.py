@@ -92,3 +92,73 @@ def test_quantized_knn_recall_vs_float(ray_session):
         a = set(quant.loc[quant["query_id"] == q, "vec_id"])
         rec.append(len(e & a) / len(e))
     assert np.mean(rec) >= 0.95, np.mean(rec)
+
+
+def test_semdedup_matches_bruteforce_twin(ray_session):
+    """Distributed SemDeDup == a driver-local twin that uses the SAME
+    (bit-identical) centroids: identical assignment, identical
+    within-cluster components, identical survivors + group sizes.
+    Planted exact duplicates must collapse to the min id."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_dataflow_ray.sources.tables import read_table
+    from parallel_dataflow_ray.stages.similarity import (kmeans_fit,
+                                                         semdedup)
+
+    ds = read_table("/root/testdata/sf0.001", "embeddings",
+                    columns=["vec_id", "embedding"])
+    pdf = ds.to_pandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ids = pdf["vec_id"].to_numpy()
+    # plant exact duplicates of every 25th vector under fresh ids
+    dup_src = np.arange(0, len(ids), 25)
+    Xp = np.vstack([X, X[dup_src]])
+    idp = np.concatenate([ids, ids.max() + 1 + np.arange(dup_src.size)])
+    planted = pd.DataFrame({"vec_id": idp, "embedding": list(Xp)})
+    dsp = rd.from_pandas(planted).repartition(5)
+
+    got = semdedup(dsp, n_clusters=4, threshold=0.96).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    # twin: same centroids (kmeans_fit is partition-invariant), local
+    # assignment + union-find
+    C, _ = kmeans_fit(dsp, 4, iters=5, seed=7)
+    a = np.argmax(Xp @ C.T, axis=1)
+    thr_q = int(round(0.96 * (1 << 20)))
+    rows = []
+    for cl in np.unique(a):
+        sel = np.nonzero(a == cl)[0]
+        sel = sel[np.argsort(idp[sel], kind="stable")]
+        Xi, idi = Xp[sel], idp[sel]
+        m = len(sel)
+        parent = list(range(m))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        q = np.rint((Xi @ Xi.T) * (1 << 20)).astype(np.int64)
+        for i in range(m):
+            for j in range(i + 1, m):
+                if q[i, j] >= thr_q:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)])
+        sizes = np.bincount(roots, minlength=m)
+        for i in range(m):
+            if roots[i] == i:
+                rows.append((int(idi[i]), int(cl), int(sizes[i])))
+    want = pd.DataFrame(sorted(rows),
+                        columns=["vec_id", "cluster", "n_semdups"])
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "cluster", "n_semdups"]].astype("int64"), 
+        want.astype("int64"))
+    # every planted duplicate collapsed: its fresh id never survives
+    assert not set(idp[len(ids):]) & set(got["vec_id"])
+    assert (got["n_semdups"] >= 2).sum() >= dup_src.size * 0.9
