@@ -60,7 +60,8 @@ def test_uninterrupted_sink_matches_oracle(tmp_path):
     assert _sink_rows(tmp_path / "sink") == _oracle_rows()
 
 
-@pytest.mark.parametrize("kernel", ["clip_stats", "first_seen", "codec_funnel",
+@pytest.mark.parametrize("kernel", ["clip_stats", "first_seen",
+                                    "content_dedup", "codec_funnel",
                                     "codec_kleene", "vocab_sketch"])
 @pytest.mark.parametrize("partial", [False, True], ids=["clean-kill", "partial-commit"])
 def test_kill_and_resume_exactly_once(tmp_path, partial, kernel):

@@ -81,3 +81,9 @@ def test_salted_parity_kleene_kernel():
     # buffered run automaton: salted partials are offset-keyed row
     # buffers, the owner folds the union in (event_ts, offset) order
     _parity("codec_kleene")
+
+
+def test_salted_parity_content_dedup_kernel():
+    # fingerprint-keyed MIN-meet: salted partials merge element-wise,
+    # same semilattice argument as first_seen
+    _parity("content_dedup")
