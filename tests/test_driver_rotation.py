@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     # round-4 additions, placed in the head-50 window
     "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
+    "rank_orders_window", "rollup_revenue", "ntile_docs",
 }
 
 
