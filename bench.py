@@ -235,6 +235,32 @@ def bench_audio_neardup(tmpdir: str) -> dict:
             "declined_clique_pairs": int(st["declined_pairs"].iloc[0])}
 
 
+def bench_audio_decontaminate(tmpdir: str) -> dict:
+    """clips/sec through audio eval-set decontamination over the same
+    generated clip stream: a 1,000-clip eval suite's sketch table
+    (fingerprints + 5-of-6 subset LSH keys + unit verify profiles)
+    broadcasts once via ray.put; the corpus is probed MAP-ONLY inside
+    its single decode pass — zero corpus shuffle, output sized by the
+    contamination.  The synthetic tone corpus genuinely collides with
+    the tone eval suite, so the flagged count is real work, and is
+    reported."""
+    import ray.data as rd
+
+    from parallel_dataflow_ray.fixtures import clips_table
+    from parallel_dataflow_ray.stages.audio_prep import decontaminate_clips
+
+    gen_path = os.path.join(tmpdir, f"clips_{STREAM_CLIPS}_{STREAM_EPOCH_ROWS}_s1k_rg")
+    ds = rd.read_parquet(gen_path)
+    ev = rd.from_arrow(clips_table(1000, seed=999))
+    t0 = time.perf_counter()
+    n_flagged = decontaminate_clips(ds, ev, max_hamming=2,
+                                    verify_cosine=0.998).count()
+    dt = time.perf_counter() - t0
+    return {"clips": STREAM_CLIPS, "eval_clips": 1000,
+            "flagged": n_flagged, "sec": round(dt, 3),
+            "clips_per_sec": round(STREAM_CLIPS / dt, 1)}
+
+
 def main() -> None:
     import ray
 
@@ -291,6 +317,9 @@ def main() -> None:
     audio_nd = bench_audio_neardup(tmpdir)
     per_query["audio_neardup_pairs"] = audio_nd["sec"]
     total += audio_nd["sec"]
+    audio_dc = bench_audio_decontaminate(tmpdir)
+    per_query["decontaminate_clips"] = audio_dc["sec"]
+    total += audio_dc["sec"]
     per_query["stream_audio_spectral"] = stream["run_sec"]
 
     out = {"metric": "bench_total_sec", "value": round(total, 3), "unit": "sec",
@@ -298,10 +327,11 @@ def main() -> None:
            "clips_per_sec": stream["clips_per_sec"],
            "audio_prep_clips_per_sec": audio_prep["clips_per_sec"],
            "audio_neardup_clips_per_sec": audio_nd["clips_per_sec"],
+           "audio_decontaminate_clips_per_sec": audio_dc["clips_per_sec"],
            "ctl_gbps_before_battery": ctl_before,
            "ctl_gbps_after_battery": ctl_after,
            "stream": stream, "audio_prep": audio_prep,
-           "audio_neardup": audio_nd}
+           "audio_neardup": audio_nd, "audio_decontaminate": audio_dc}
     ray.shutdown()
     print(json.dumps(out))
 

@@ -1674,6 +1674,36 @@ def curate_clips_q(sf_dir: str):
                                "dur_ms", "n_words", "rms_q20"])
 
 
+def decontaminate_clips_q(sf_dir: str):
+    """AUDIO benchmark decontamination (rows-only; distributed output ==
+    brute-force corpus x eval hamming+cosine ball, planted leak recall
+    >= 8/10 in tests/test_audio_prep.py): flag training clips that are
+    re-encodes of eval-suite recordings.  The eval side is the SMALL
+    one, so its sketch table (fingerprint + 5-of-6-subset LSH keys +
+    unit profiles) broadcasts once via ray.put and the corpus is probed
+    MAP-ONLY inside its single decode pass — zero corpus shuffle,
+    output sized by the contamination (the audio analog of
+    ``decontaminate_docs``/``_bloom``).  The fixture plants 12 gain-0.6
+    mu-law re-encodes of eval clips into the corpus."""
+    from ..fixtures import CLIPS_SCHEMA, clips_table
+    from ..functions.audio import decode_clip, encode_ulaw
+    from ..stages.audio_prep import decontaminate_clips
+
+    ev = clips_table(40, seed=999)
+    leak = ev.to_pandas().iloc[:12].copy()
+    leak["bytes"] = [encode_ulaw(0.6 * decode_clip(b, c))
+                     for b, c in zip(leak["bytes"], leak["codec"])]
+    leak["codec"] = "ulaw"
+    leak["clip_id"] = leak["clip_id"] + "-leak"
+    leak["offset"] = 500_000 + np.arange(12)
+    corpus = _clips_ds(400, 42).union(rd.from_arrow(
+        pa.Table.from_pandas(leak, schema=CLIPS_SCHEMA,
+                             preserve_index=False)
+        .replace_schema_metadata(None)))
+    return decontaminate_clips(corpus, rd.from_arrow(ev),
+                               max_hamming=2, verify_cosine=0.998)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1981,6 +2011,7 @@ QUERIES = {
     "curate_clips": curate_clips_q,
     "curate_neardup_clips": curate_neardup_clips_q,
     "audio_neardup_clips": audio_neardup_clips_q,
+    "decontaminate_clips": decontaminate_clips_q,
 }
 
 _TUMBLING_SQL = """

@@ -1138,3 +1138,129 @@ def augment_clips(ds: rd.Dataset, *, seed: int = 0,
                      snr_db_range=snr_db_range, id_col=id_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# audio eval-set decontamination (the `dedup.contamination` analog on audio)
+# ---------------------------------------------------------------------------
+
+class AudioDecontaminateStage:
+    """Instance-as-UDF probe: flags corpus clips whose spectral
+    fingerprint lands within ``max_hamming`` of ANY eval-suite clip
+    (optionally profile-cosine-gated).  Holds only an ObjectRef; the
+    eval lookup structure — sorted 5-subset LSH keys, key->eval-row
+    map, eval fingerprints (+ unit profiles) — is read zero-copy from
+    the local object store per task, never re-shipped per batch."""
+
+    def __init__(self, ref, *, id_col: str = "offset",
+                 max_hamming: int = 2, thr_micro: int | None = None):
+        self._ref = ref
+        self.id_col = id_col
+        self.max_hamming = int(max_hamming)
+        self.thr_micro = thr_micro
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        from ..functions.hashing import popcount64
+        from .dedup import _sparse_subset_keys
+
+        sorted_keys, key_rows, efp, eprof = _ray.get(self._ref)
+        flat, lens, off = decode_flat(t["bytes"].to_pylist(),
+                                      t["codec"].to_pylist())
+        E = band_energies(flat, lens, off,
+                          t["sr_hz"].to_numpy().astype(np.int64))
+        fp = _topk_bits(E)
+        n = fp.size
+        keys = _sparse_subset_keys(fp).ravel()          # row-major (n*6,)
+        lo = np.searchsorted(sorted_keys, keys, side="left")
+        hi = np.searchsorted(sorted_keys, keys, side="right")
+        cnt = hi - lo
+        empty = pa.table({self.id_col: pa.array([], t.schema.field(
+                              self.id_col).type),
+                          "n_matched": pa.array([], pa.int64()),
+                          "min_hamming": pa.array([], pa.int64())})
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        # ragged gather of candidate eval rows per (corpus row, band)
+        excl = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        pos = np.arange(total, dtype=np.int64) \
+            + np.repeat(lo - excl, cnt)
+        erow = key_rows[pos]
+        crow = np.repeat(np.repeat(np.arange(n, dtype=np.int64), 6), cnt)
+        d = popcount64(fp[crow] ^ efp[erow]).astype(np.int64)
+        ok = d <= self.max_hamming
+        if self.thr_micro is not None and ok.any():
+            P = log_band_profile(E)                     # unit rows
+            q = np.rint(np.einsum(
+                "ij,ij->i", P[crow[ok]], eprof[erow[ok]]) * 1e6)
+            sub = np.flatnonzero(ok)
+            ok[sub[q < self.thr_micro]] = False
+        if not ok.any():
+            return empty
+        # a d=0 hit surfaces in all 6 bands, d=2 in exactly one ->
+        # dedupe (corpus row, eval row) before counting
+        m = np.int64(efp.size)
+        pk = crow[ok] * m + erow[ok]
+        upk, first = np.unique(pk, return_index=True)
+        ucrow = (upk // m).astype(np.int64)             # sorted by crow
+        ud = d[ok][first]
+        rows, starts, n_matched = np.unique(
+            ucrow, return_index=True, return_counts=True)
+        min_h = np.minimum.reduceat(ud, starts)
+        ids = t[self.id_col].take(pa.array(rows))
+        return pa.table({self.id_col: ids,
+                         "n_matched": pa.array(n_matched.astype(np.int64)),
+                         "min_hamming": pa.array(min_h.astype(np.int64))})
+
+
+def decontaminate_clips(corpus: rd.Dataset, eval_ds: rd.Dataset, *,
+                        id_col: str = "offset", max_hamming: int = 2,
+                        verify_cosine: float | None = None,
+                        batch_size: int = 256) -> rd.Dataset:
+    """AUDIO benchmark decontamination: flag every training clip that
+    is (a re-encode of) an eval-suite recording — gain / codec /
+    sample-rate robust via the 6-of-64-bit spectral fingerprint, exact
+    for ``max_hamming <= 3`` via the sparse 5-of-6 subset LSH, with an
+    optional log-band-profile cosine gate (quantized at 1e-6 like
+    :func:`verify_audio_cosine`, so the decision is batch-composition
+    independent).  The text analog (shared word-k-grams vs a bench
+    suite) is ``dedup.contamination`` / ``contamination_bloom``
+    (reference analog for the broadcast-small-side discipline:
+    ``blog/blog.md:84``'s skew lesson).
+
+    100 TB shape: the EVAL side is the small one (an eval suite, not
+    the corpus), so its whole sketch table — 8-byte fingerprints, the
+    six 5-subset LSH keys each, optional 256-byte unit profiles — is
+    built distributed, collected once, and broadcast via ``ray.put``;
+    the corpus is then probed MAP-ONLY in its one decode pass (fused
+    fingerprint + searchsorted lookup + popcount verify).  ZERO corpus
+    shuffle, zero corpus materialization; output is sized by the
+    contamination, not the corpus.  Output: ``(id_col, n_matched,
+    min_hamming)`` — one row per CONTAMINATED corpus clip (mirror of
+    ``contamination``'s ``(doc_id, n_shared)``); survivors are the
+    anti-join, exactly as in the text pipeline."""
+    import ray as _ray
+
+    from .dedup import _sparse_subset_keys
+
+    want_prof = verify_cosine is not None
+    esk = fingerprint_clips(eval_ds, id_col=id_col,
+                            profile=want_prof).to_pandas()
+    efp = np.ascontiguousarray(esk["simhash"].to_numpy()).view(np.uint64)
+    keys = _sparse_subset_keys(efp)                     # (m, 6)
+    flat = keys.ravel()
+    rows = np.repeat(np.arange(efp.size, dtype=np.int64), keys.shape[1])
+    order = np.argsort(flat, kind="stable")
+    eprof = None
+    if want_prof:
+        eprof = np.frombuffer(b"".join(esk["profile"]), "<f4") \
+            .reshape(efp.size, _FP_BANDS).astype(np.float64)
+    ref = _ray.put((flat[order], rows[order], efp, eprof))
+    stage = AudioDecontaminateStage(
+        ref, id_col=id_col, max_hamming=max_hamming,
+        thr_micro=None if verify_cosine is None
+        else int(round(verify_cosine * 1e6)))
+    return corpus.map_batches(stage, batch_format="pyarrow",
+                              batch_size=batch_size, num_cpus=1)

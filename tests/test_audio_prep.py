@@ -707,3 +707,120 @@ def test_augment_clips_e2e(ray_session):
     a = out.sort_values("clip_id").reset_index(drop=True)
     b = out2.sort_values("clip_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# audio eval-set decontamination
+# ---------------------------------------------------------------------------
+
+def _plant_eval_copies(corpus_tbl, eval_tbl, idxs, *, gain=0.6,
+                       off_base=500_000):
+    """Append gain-scaled mu-law re-encodes of eval rows ``idxs`` to the
+    corpus — the 'eval audio leaked into the crawl' case."""
+    from parallel_dataflow_ray.functions.audio import decode_clip, encode_ulaw
+    cp = corpus_tbl.to_pandas()
+    ev = eval_tbl.to_pandas().iloc[list(idxs)].copy()
+    ev["bytes"] = [encode_ulaw(gain * decode_clip(b, c))
+                   for b, c in zip(ev["bytes"], ev["codec"])]
+    ev["codec"] = "ulaw"
+    ev["clip_id"] = ev["clip_id"] + "-leak"
+    ev["offset"] = off_base + np.arange(len(ev))
+    return pa.Table.from_pandas(pd.concat([cp, ev], ignore_index=True),
+                                preserve_index=False)
+
+
+def _bf_decontaminate(corpus_tbl, eval_tbl, *, max_hamming=2,
+                      thr_micro=None):
+    """Driver-local brute-force twin: all corpus x eval hamming (+
+    optional profile-cosine gate) -> (offset, n_matched, min_hamming)."""
+    from parallel_dataflow_ray.stages.audio_prep import (
+        FingerprintStage, _FP_BANDS)
+    prof = thr_micro is not None
+    csk = FingerprintStage(id_col="offset", profile=prof)(corpus_tbl) \
+        .to_pandas()
+    esk = FingerprintStage(id_col="offset", profile=prof)(eval_tbl) \
+        .to_pandas()
+    cfp = csk["simhash"].to_numpy().view(np.uint64)
+    efp = esk["simhash"].to_numpy().view(np.uint64)
+    if prof:
+        CP = np.frombuffer(b"".join(csk["profile"]), "<f4") \
+            .reshape(len(csk), _FP_BANDS).astype(np.float64)
+        EP = np.frombuffer(b"".join(esk["profile"]), "<f4") \
+            .reshape(len(esk), _FP_BANDS).astype(np.float64)
+    rows = []
+    for i in range(cfp.size):
+        d = np.array([bin(int(cfp[i]) ^ int(e)).count("1") for e in efp])
+        ok = d <= max_hamming
+        if prof and ok.any():
+            cos = np.rint(EP[ok] @ CP[i] * 1e6)
+            sub = np.flatnonzero(ok)
+            ok[sub[cos < thr_micro]] = False
+        if ok.any():
+            rows.append((int(csk["offset"][i]), int(ok.sum()),
+                         int(d[ok].min())))
+    return pd.DataFrame(rows, columns=["offset", "n_matched",
+                                       "min_hamming"]).astype("int64")
+
+
+def test_decontaminate_clips_vs_bruteforce(ray_session):
+    """Distributed broadcast-LSH decontamination == brute-force corpus x
+    eval hamming ball; every planted eval re-encode is flagged."""
+    import ray.data as rd
+    from parallel_dataflow_ray.stages.audio_prep import decontaminate_clips
+
+    eval_tbl = clips_table(30, seed=999)
+    corpus_tbl = _plant_eval_copies(clips_table(120, seed=42), eval_tbl,
+                                    range(10))
+    got = decontaminate_clips(
+        rd.from_arrow(corpus_tbl).repartition(5), rd.from_arrow(eval_tbl),
+        max_hamming=2).to_pandas() \
+        .sort_values("offset").reset_index(drop=True).astype("int64")
+    want = _bf_decontaminate(corpus_tbl, eval_tbl, max_hamming=2) \
+        .sort_values("offset").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the leaked copies (gain + mu-law re-encode) are caught
+    flagged = set(got["offset"])
+    caught = sum(1 for i in range(10) if 500_000 + i in flagged)
+    assert caught >= 8, f"only {caught}/10 planted leaks flagged"
+
+
+def test_decontaminate_clips_cosine_gate(ray_session):
+    """The cosine-gated variant matches its brute-force twin and stays
+    a subset of the hamming-only flag set."""
+    import ray.data as rd
+    from parallel_dataflow_ray.stages.audio_prep import decontaminate_clips
+
+    eval_tbl = clips_table(24, seed=777)
+    corpus_tbl = _plant_eval_copies(clips_table(90, seed=21), eval_tbl,
+                                    range(8), gain=0.8)
+    got = decontaminate_clips(
+        rd.from_arrow(corpus_tbl).repartition(4), rd.from_arrow(eval_tbl),
+        max_hamming=2, verify_cosine=0.998).to_pandas() \
+        .sort_values("offset").reset_index(drop=True).astype("int64")
+    want = _bf_decontaminate(corpus_tbl, eval_tbl, max_hamming=2,
+                             thr_micro=998_000) \
+        .sort_values("offset").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    loose = decontaminate_clips(
+        rd.from_arrow(corpus_tbl).repartition(4), rd.from_arrow(eval_tbl),
+        max_hamming=2).to_pandas()
+    assert set(got["offset"]) <= set(loose["offset"])
+
+
+def test_decontaminate_clips_clean_corpus(ray_session):
+    """No contamination -> empty flag table (and the schema holds)."""
+    import ray.data as rd
+    from parallel_dataflow_ray.stages.audio_prep import decontaminate_clips
+
+    corpus_tbl = clips_table(60, seed=42)
+    eval_tbl = clips_table(20, seed=31337)
+    got = decontaminate_clips(
+        rd.from_arrow(corpus_tbl).repartition(3), rd.from_arrow(eval_tbl),
+        max_hamming=2).to_pandas().astype("int64")
+    want = _bf_decontaminate(corpus_tbl, eval_tbl, max_hamming=2)
+    assert len(got) == len(want)
+    if len(want):
+        pd.testing.assert_frame_equal(
+            got.sort_values("offset").reset_index(drop=True),
+            want.sort_values("offset").reset_index(drop=True))
+    assert list(got.columns) == ["offset", "n_matched", "min_hamming"]
