@@ -1704,6 +1704,27 @@ def decontaminate_clips_q(sf_dir: str):
                                max_hamming=2, verify_cosine=0.998)
 
 
+def tonality_clips_q(sf_dir: str):
+    """Per-clip DSP quality statistics + tonality classification
+    (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
+    >> tonal flatness, gain invariance — plus batch==per-clip and
+    distributed==local parity in tests/test_audio_prep.py): ONE decode
+    + ONE banded FFT per clip yields zero-crossing rate, spectral
+    flatness and spectral centroid (1e-6-quantized), and the
+    ``is_tonal`` gate (flatness < 0.30) a speech-corpus curation pass
+    filters on.  Map-only, zero shuffles; payload bytes never leave the
+    stage."""
+    from ..stages.audio_prep import clip_dsp_stats
+
+    stats = clip_dsp_stats(_clips_ds(400, 42))
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_tonal", pc.less(t["flatness_micro"], 300_000))
+
+    return stats.map_batches(flag, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2012,6 +2033,7 @@ QUERIES = {
     "curate_neardup_clips": curate_neardup_clips_q,
     "audio_neardup_clips": audio_neardup_clips_q,
     "decontaminate_clips": decontaminate_clips_q,
+    "tonality_clips": tonality_clips_q,
 }
 
 _TUMBLING_SQL = """

@@ -1264,3 +1264,94 @@ def decontaminate_clips(corpus: rd.Dataset, eval_ds: rd.Dataset, *,
         else int(round(verify_cosine * 1e6)))
     return corpus.map_batches(stage, batch_format="pyarrow",
                               batch_size=batch_size, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# per-clip DSP statistics (tonality / noisiness quality scoring)
+# ---------------------------------------------------------------------------
+
+def per_clip_zcr(flat: np.ndarray, lens: np.ndarray, off: np.ndarray
+                 ) -> np.ndarray:
+    """Zero-crossing RATE per clip (crossings per sample, in [0, 1]) —
+    flat-vectorized: one global sign-change diff + a cumsum, then two
+    gathers per clip (crossings at clip boundaries are excluded by
+    construction: clip ``i``'s diff range is ``[off_i, off_i+len_i-1)``).
+    A pure sine at ``f`` Hz gives ``~2f/sr``; white noise ``~0.5``."""
+    n = lens.size
+    zcr = np.zeros(n, np.float64)
+    if n == 0 or flat.size < 2:
+        return zcr
+    d = (np.signbit(flat[1:]) != np.signbit(flat[:-1])).astype(np.int64)
+    c = np.concatenate(([0], np.cumsum(d)))
+    has = lens > 1
+    lo = off[has]
+    hi = off[has] + lens[has] - 1
+    zcr[has] = (c[hi] - c[lo]) / (lens[has] - 1)
+    return zcr
+
+
+def spectral_flatness(E: np.ndarray) -> np.ndarray:
+    """Per-clip spectral flatness over the 64 absolute-Hz band energies:
+    geometric / arithmetic mean, in [0, 1].  Tonal content (a few hot
+    bands) -> near 0; broadband noise -> near 1.  Gain-invariant (both
+    means scale linearly); the epsilon floors silence to flatness 1."""
+    eps = np.float64(1e-30)
+    Ef = E.astype(np.float64) + eps
+    g = np.exp(np.mean(np.log(Ef), axis=1))
+    return g / np.mean(Ef, axis=1)
+
+
+def spectral_centroid(E: np.ndarray) -> np.ndarray:
+    """Energy-weighted mean band index, in [0, bands-1] — a coarse
+    brightness measure on the same log-spaced band grid the fingerprint
+    uses (rate-independent by construction).  Silence -> 0."""
+    w = np.arange(E.shape[1], dtype=np.float64)
+    Ef = E.astype(np.float64)
+    tot = Ef.sum(axis=1)
+    out = np.zeros(E.shape[0], np.float64)
+    nz = tot > 0
+    out[nz] = (Ef[nz] * w).sum(axis=1) / tot[nz]
+    return out
+
+
+class ClipDSPStatsStage:
+    """Instance-as-UDF per-clip DSP statistics: ONE decode + ONE banded
+    FFT per clip (the fingerprint front end) produces zero-crossing
+    rate, spectral flatness and spectral centroid — the
+    tonality/noisiness quality-scoring features a speech-corpus
+    curation pass filters on.  All columns are 1e-6-quantized int64s so
+    downstream decisions are batch-composition independent; payload
+    bytes never leave the stage."""
+
+    def __init__(self, id_col: str = "clip_id",
+                 carry: tuple = ("dur_ms",)):
+        self.id_col = id_col
+        self.carry = tuple(carry)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, lens, off = decode_flat(t["bytes"].to_pylist(),
+                                      t["codec"].to_pylist())
+        E = band_energies(flat, lens, off,
+                          t["sr_hz"].to_numpy().astype(np.int64))
+        cols = {self.id_col: t[self.id_col]}
+        for c in self.carry:
+            if c in t.column_names:
+                cols[c] = t[c]
+        cols["zcr_micro"] = pa.array(np.rint(
+            per_clip_zcr(flat, lens, off) * 1e6).astype(np.int64))
+        cols["flatness_micro"] = pa.array(np.rint(
+            spectral_flatness(E) * 1e6).astype(np.int64))
+        cols["centroid_micro"] = pa.array(np.rint(
+            spectral_centroid(E) * 1e6).astype(np.int64))
+        return pa.table(cols)
+
+
+def clip_dsp_stats(ds: rd.Dataset, *, id_col: str = "clip_id",
+                   carry: tuple = ("dur_ms",),
+                   batch_size: int = 256) -> rd.Dataset:
+    """clips -> (id, zcr_micro, flatness_micro, centroid_micro[, carry])
+    — map-only, zero shuffles; the classify/filter composition gates on
+    the quantized columns (e.g. ``flatness_micro < 300000`` = tonal)."""
+    return ds.map_batches(ClipDSPStatsStage(id_col, carry),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          num_cpus=1)

@@ -824,3 +824,66 @@ def test_decontaminate_clips_clean_corpus(ray_session):
             got.sort_values("offset").reset_index(drop=True),
             want.sort_values("offset").reset_index(drop=True))
     assert list(got.columns) == ["offset", "n_matched", "min_hamming"]
+
+
+# ---------------------------------------------------------------------------
+# per-clip DSP statistics (tonality scoring)
+# ---------------------------------------------------------------------------
+
+def test_zcr_flatness_laws():
+    """Signal-theory laws: a pure sine at f has zcr ~ 2f/sr and LOW
+    spectral flatness; white noise has zcr ~ 0.5 and HIGH flatness; the
+    stats are gain-invariant."""
+    from parallel_dataflow_ray.stages.audio_prep import (
+        band_energies, per_clip_zcr, spectral_flatness)
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    rng = np.random.default_rng(0)
+    for f in (200, 440, 1000):
+        x = np.sin(2 * np.pi * f * t).astype(np.float32)
+        zcr = per_clip_zcr(x, np.array([x.size]), np.array([0]))[0]
+        assert abs(zcr - 2 * f / sr) < 1e-4, (f, zcr)
+        E = band_energies(x, np.array([x.size]), np.array([0]),
+                          np.array([sr]))
+        flat = spectral_flatness(E)[0]
+        assert flat < 0.05, (f, flat)
+        # gain invariance
+        E2 = band_energies(0.1 * x, np.array([x.size]), np.array([0]),
+                           np.array([sr]))
+        assert abs(spectral_flatness(E2)[0] - flat) < 1e-9
+    noise = rng.normal(0, 0.1, sr).astype(np.float32)
+    zcr_n = per_clip_zcr(noise, np.array([noise.size]), np.array([0]))[0]
+    assert 0.4 < zcr_n < 0.6, zcr_n
+    En = band_energies(noise, np.array([noise.size]), np.array([0]),
+                       np.array([sr]))
+    assert spectral_flatness(En)[0] > 0.3
+    # and noise is flatter than any of the sines
+    assert spectral_flatness(En)[0] > 6 * flat
+
+
+def test_clip_dsp_stats_batch_equals_per_clip():
+    from parallel_dataflow_ray.stages.audio_prep import ClipDSPStatsStage
+
+    tbl = clips_table(16, seed=5)
+    batch = ClipDSPStatsStage()(tbl).to_pandas()
+    for i in range(16):
+        one = ClipDSPStatsStage()(tbl.slice(i, 1)).to_pandas()
+        for c in ("zcr_micro", "flatness_micro", "centroid_micro"):
+            assert one[c][0] == batch[c][i], (i, c)
+
+
+def test_clip_dsp_stats_distributed_parity(ray_session):
+    import ray.data as rd
+    from parallel_dataflow_ray.stages.audio_prep import (
+        ClipDSPStatsStage, clip_dsp_stats)
+
+    tbl = clips_table(60, seed=11)
+    got = clip_dsp_stats(rd.from_arrow(tbl).repartition(5),
+                         batch_size=17).to_pandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    want = ClipDSPStatsStage()(tbl).to_pandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got.columns) == {"clip_id", "dur_ms", "zcr_micro",
+                                "flatness_micro", "centroid_micro"}
