@@ -1704,6 +1704,19 @@ def decontaminate_clips_q(sf_dir: str):
                                max_hamming=2, verify_cosine=0.998)
 
 
+def moments_lineitem(sf_dir: str):
+    """Grouped second-moment aggregate (COUNT / AVG / VAR_SAMP /
+    STDDEV_SAMP) over lineitem quantities: map-side (count, mean, M2)
+    partials + Chan's numerically-stable parallel merge, folded in a
+    canonical order so the float result is partition-invariant (see
+    ``relational.grouped_moments``).  Only O(groups x blocks) partial
+    rows shuffle."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+    return rel.grouped_moments(ds, ["l_returnflag"], "l_quantity",
+                               num_buckets=8)
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -1971,7 +1984,7 @@ QUERIES = {
     "session_events": session_events,
     "bpe_token_stats": bpe_token_stats,
     "broadcast_region_count": broadcast_region_count,
-    "union_orders": union_orders,
+    "moments_lineitem": moments_lineitem,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
     "distinct_event_types": distinct_event_types,
@@ -1985,6 +1998,7 @@ QUERIES = {
     # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
     # keep passing the identical pytest DuckDB gate every run
     "filter_high_value": filter_high_value,
+    "union_orders": union_orders,
     "anti_join_customers": anti_join_customers,
     "left_join_customer_orders": left_join_customer_orders,
     "outer_join_user_activity": outer_join_user_activity,
@@ -2891,6 +2905,15 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 SELECT doc_id,
        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
+""",
+    # second-moment aggregate; column names match grouped_moments output
+    "moments_lineitem": """
+SELECT l_returnflag,
+       COUNT(l_quantity) AS n,
+       AVG(l_quantity) AS mean,
+       VAR_SAMP(l_quantity) AS var_samp,
+       STDDEV_SAMP(l_quantity) AS std_samp
+FROM lineitem GROUP BY l_returnflag
 """,
     # rows-only (non-SQL-expressible): fingerprint_docs (SipHash keyed
     # hash has no DuckDB twin), minhash_neardup, simhash_neardup

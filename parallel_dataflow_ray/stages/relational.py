@@ -118,6 +118,62 @@ def grouped_sum(ds: rd.Dataset, keys: list[str], sums: list[str],
     return bucketed_groupby(partial, keys, final, num_buckets)
 
 
+def grouped_moments(ds: rd.Dataset, keys: list[str], col: str,
+                    num_buckets: int = 64) -> rd.Dataset:
+    """Distributed second-moment aggregate -> ``(keys..., n, mean,
+    var_samp, std_samp)`` via map-side ``(count, mean, M2)`` partials
+    and Chan et al.'s parallel-merge update at the final stage.
+
+    Why not sum-of-squares: ``E[x^2] - E[x]^2`` cancels catastrophically
+    when ``var << mean^2`` (exactly the regime of prices/amounts at
+    corpus scale); the M2 form is stable at any n.  The merge is made
+    REPLAY-DETERMINISTIC by folding each group's partials in a canonical
+    sorted order, so the float result is bit-identical under any block
+    arrival order / partition count (asserted in tests/test_moments.py).
+    Only O(groups x blocks) 4-column partial rows cross the shuffle —
+    the same partial+final discipline as :func:`grouped_sum` (reference
+    analog: the frontier-batched executor, SURVEY.md E4)."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        gb = b.groupby(keys, sort=False)
+        agg = gb[col].agg(["count", "mean"]).reset_index()
+        agg.columns = list(keys) + ["__n", "__mean"]
+        d = b[col] - gb[col].transform("mean")
+        agg["__m2"] = (d * d).groupby(
+            [b[k] for k in keys], sort=False).sum().to_numpy()
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            sub = sub.sort_values(["__n", "__mean", "__m2"],
+                                  kind="mergesort")
+            n, mean, m2 = 0, 0.0, 0.0
+            for nn, mm, mm2 in zip(sub["__n"].to_numpy(),
+                                   sub["__mean"].to_numpy(),
+                                   sub["__m2"].to_numpy()):
+                if nn == 0:
+                    continue
+                tot = n + nn
+                delta = mm - mean
+                m2 += mm2 + delta * delta * (n * nn / tot)
+                mean += delta * (nn / tot)
+                n = tot
+            var = m2 / (n - 1) if n > 1 else float("nan")
+            std = math.sqrt(var) if var == var else float("nan")
+            kv = list(kv) if isinstance(kv, tuple) else [kv]
+            rows.append(kv + [n, mean, var, std])
+        out = pd.DataFrame(rows, columns=list(keys)
+                           + ["n", "mean", "var_samp", "std_samp"])
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+    return bucketed_groupby(partials, keys, final, num_buckets)
+
+
 def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
                      add_columns: list[str],
                      project: list[str] | None = None) -> rd.Dataset:
