@@ -1717,6 +1717,19 @@ def moments_lineitem(sf_dir: str):
                                num_buckets=8)
 
 
+def corr_lineitem(sf_dir: str):
+    """Grouped bivariate aggregate (CORR + COVAR_SAMP + pairwise count)
+    between quantity and extended price: map-side
+    (n, means, M2s, cross-moment) partials + the bivariate Chan merge,
+    canonical fold order -> partition-invariant floats (see
+    ``relational.grouped_corr``)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    return rel.grouped_corr(ds, ["l_returnflag"], "l_quantity",
+                            "l_extendedprice", num_buckets=8)
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -1985,7 +1998,7 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "broadcast_region_count": broadcast_region_count,
     "moments_lineitem": moments_lineitem,
-    "sample_docs": sample_docs,
+    "corr_lineitem": corr_lineitem,
     "reservoir_docs": reservoir_docs,
     "distinct_event_types": distinct_event_types,
     # round-4 (this session) additions in the window — displacing
@@ -1999,6 +2012,7 @@ QUERIES = {
     # keep passing the identical pytest DuckDB gate every run
     "filter_high_value": filter_high_value,
     "union_orders": union_orders,
+    "sample_docs": sample_docs,
     "anti_join_customers": anti_join_customers,
     "left_join_customer_orders": left_join_customer_orders,
     "outer_join_user_activity": outer_join_user_activity,
@@ -2905,6 +2919,15 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 SELECT doc_id,
        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
+""",
+    # pairwise-complete bivariate aggregate; REGR_COUNT == engine's
+    # dropna-pair count by construction (not by generator accident)
+    "corr_lineitem": """
+SELECT l_returnflag,
+       REGR_COUNT(l_extendedprice, l_quantity) AS n,
+       CORR(l_quantity, l_extendedprice) AS corr,
+       COVAR_SAMP(l_quantity, l_extendedprice) AS covar_samp
+FROM lineitem GROUP BY l_returnflag
 """,
     # second-moment aggregate; column names match grouped_moments output
     "moments_lineitem": """

@@ -174,6 +174,72 @@ def grouped_moments(ds: rd.Dataset, keys: list[str], col: str,
     return bucketed_groupby(partials, keys, final, num_buckets)
 
 
+def grouped_corr(ds: rd.Dataset, keys: list[str], x: str, y: str,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Distributed bivariate aggregate -> ``(keys..., n, corr,
+    covar_samp)`` over PAIRWISE-COMPLETE rows (both columns non-null —
+    SQL ``CORR``/``COVAR_SAMP``/``REGR_COUNT`` semantics), via map-side
+    ``(n, mean_x, mean_y, M2x, M2y, Cxy)`` partials and the bivariate
+    Chan merge.  Same stability and replay-determinism discipline as
+    :func:`grouped_moments` (canonical sorted fold; no
+    sum-of-products cancellation); only O(groups x blocks) 7-column
+    partial rows shuffle."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[list(keys) + [x, y]].dropna(subset=[x, y])
+        gb = b.groupby(keys, sort=False)
+        agg = gb.size().reset_index()
+        agg.columns = list(keys) + ["__n"]
+        mx = gb[x].transform("mean")
+        my = gb[y].transform("mean")
+        gkeys = [b[k] for k in keys]
+        agg["__mx"] = gb[x].mean().to_numpy()
+        agg["__my"] = gb[y].mean().to_numpy()
+        dx = b[x] - mx
+        dy = b[y] - my
+        agg["__m2x"] = (dx * dx).groupby(gkeys, sort=False).sum().to_numpy()
+        agg["__m2y"] = (dy * dy).groupby(gkeys, sort=False).sum().to_numpy()
+        agg["__cxy"] = (dx * dy).groupby(gkeys, sort=False).sum().to_numpy()
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            sub = sub.sort_values(["__n", "__mx", "__my", "__cxy"],
+                                  kind="mergesort")
+            n, mx, my, m2x, m2y, cxy = 0, 0.0, 0.0, 0.0, 0.0, 0.0
+            for nn, pmx, pmy, pm2x, pm2y, pcxy in zip(
+                    sub["__n"].to_numpy(), sub["__mx"].to_numpy(),
+                    sub["__my"].to_numpy(), sub["__m2x"].to_numpy(),
+                    sub["__m2y"].to_numpy(), sub["__cxy"].to_numpy()):
+                if nn == 0:
+                    continue
+                tot = n + nn
+                dxm = pmx - mx
+                dym = pmy - my
+                w = n * nn / tot
+                m2x += pm2x + dxm * dxm * w
+                m2y += pm2y + dym * dym * w
+                cxy += pcxy + dxm * dym * w
+                mx += dxm * (nn / tot)
+                my += dym * (nn / tot)
+                n = tot
+            cov = cxy / (n - 1) if n > 1 else float("nan")
+            den = math.sqrt(m2x * m2y)
+            corr = cxy / den if n > 1 and den > 0 else float("nan")
+            kv = list(kv) if isinstance(kv, tuple) else [kv]
+            rows.append(kv + [n, corr, cov])
+        out = pd.DataFrame(rows,
+                           columns=list(keys) + ["n", "corr", "covar_samp"])
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+    return bucketed_groupby(partials, keys, final, num_buckets)
+
+
 def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
                      add_columns: list[str],
                      project: list[str] | None = None) -> rd.Dataset:

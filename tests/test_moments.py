@@ -67,3 +67,48 @@ def test_grouped_moments_singleton_and_null(ray_session):
     assert got["n"].tolist() == [2, 1, 0]
     assert got["var_samp"][0] == 2.0           # var_samp of {1,3}
     assert np.isnan(got["var_samp"][1])        # n=1 -> NULL-like NaN
+
+
+def test_grouped_corr_matches_pandas_and_is_partition_invariant(
+        ray_session):
+    from parallel_dataflow_ray.stages.relational import grouped_corr
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    x = rng.normal(50.0, 4.0, n)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "x": x,
+        "y": 3.0 * x + rng.normal(0.0, 5.0, n)})
+    outs = []
+    for parts in (1, 4, 9):
+        out = grouped_corr(_ds_from(df, parts), ["k"], "x", "y",
+                           num_buckets=4).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        outs.append(out)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(o, outs[0])
+    got = outs[0]
+    for i, (k, sub) in enumerate(df.groupby("k")):
+        assert got["n"][i] == len(sub)
+        np.testing.assert_allclose(got["corr"][i],
+                                   sub["x"].corr(sub["y"]), rtol=1e-10)
+        np.testing.assert_allclose(got["covar_samp"][i],
+                                   sub["x"].cov(sub["y"]), rtol=1e-10)
+
+
+def test_grouped_corr_pairwise_complete_nulls(ray_session):
+    """Rows with a null in EITHER column are excluded (CORR /
+    REGR_COUNT semantics), not zero-filled."""
+    from parallel_dataflow_ray.stages.relational import grouped_corr
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5,
+        "x": [1.0, 2.0, np.nan, 4.0, 5.0],
+        "y": [2.0, np.nan, 6.0, 8.0, 10.0]})
+    got = grouped_corr(_ds_from(df, 2), ["k"], "x", "y",
+                       num_buckets=2).to_pandas()
+    assert got["n"][0] == 3                      # pairwise complete
+    sub = df.dropna(subset=["x", "y"])
+    np.testing.assert_allclose(got["corr"][0], sub["x"].corr(sub["y"]),
+                               rtol=1e-12)
