@@ -1730,6 +1730,17 @@ def corr_lineitem(sf_dir: str):
                             "l_extendedprice", num_buckets=8)
 
 
+def mode_event_type(sf_dir: str):
+    """Per-user modal event type (the majority-label aggregate) with a
+    deterministic tie-break — highest count, then lexicographically
+    smallest type (see ``relational.grouped_mode``; bare SQL ``mode()``
+    ties are engine-defined, so the twin is the explicit ROW_NUMBER
+    form).  Only distinct (user, type) count rows shuffle."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return rel.grouped_mode(ds, ["user_id"], "event_type",
+                            num_buckets=16)
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -1999,7 +2010,7 @@ QUERIES = {
     "broadcast_region_count": broadcast_region_count,
     "moments_lineitem": moments_lineitem,
     "corr_lineitem": corr_lineitem,
-    "reservoir_docs": reservoir_docs,
+    "mode_event_type": mode_event_type,
     "distinct_event_types": distinct_event_types,
     # round-4 (this session) additions in the window — displacing
     # ann_self_topk / quantiles_lineitem / heavy_bigrams, whose r02
@@ -2013,6 +2024,7 @@ QUERIES = {
     "filter_high_value": filter_high_value,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
+    "reservoir_docs": reservoir_docs,
     "anti_join_customers": anti_join_customers,
     "left_join_customer_orders": left_join_customer_orders,
     "outer_join_user_activity": outer_join_user_activity,
@@ -2919,6 +2931,15 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 SELECT doc_id,
        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
+""",
+    # deterministic-tie-break mode (ROW_NUMBER twin, not bare mode())
+    "mode_event_type": """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n_mode
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n_mode DESC, event_type) rn
+      FROM c)
+SELECT user_id, event_type, n_mode FROM r WHERE rn = 1
 """,
     # pairwise-complete bivariate aggregate; REGR_COUNT == engine's
     # dropna-pair count by construction (not by generator accident)

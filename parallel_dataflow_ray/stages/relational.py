@@ -240,6 +240,30 @@ def grouped_corr(ds: rd.Dataset, keys: list[str], x: str, y: str,
     return bucketed_groupby(partials, keys, final, num_buckets)
 
 
+def grouped_mode(ds: rd.Dataset, keys: list[str], col: str,
+                 count_name: str = "n_mode",
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Most-frequent ``col`` value per key group with a DETERMINISTIC
+    tie-break (highest count, then smallest value — SQL's
+    ``ROW_NUMBER() OVER (ORDER BY n DESC, value)`` twin, unlike bare
+    ``mode()`` whose ties are engine-defined).  Shape: map-side
+    (keys, col) count partials (:func:`grouped_sum`) -> one bucketed
+    merge keyed on the GROUP -> vectorized per-bucket sort +
+    drop_duplicates.  Only O(distinct (key, value) pairs) count rows
+    ever shuffle — never raw rows — so a skewed hot value costs one
+    counter, not a hot partition."""
+    counts = grouped_sum(ds, list(keys) + [col], [], count_as=count_name,
+                         num_buckets=num_buckets)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(keys) + [count_name, col],
+                          ascending=[True] * len(keys) + [False, True],
+                          kind="mergesort")
+        return g.drop_duplicates(list(keys))
+
+    return bucketed_groupby(counts, list(keys), pick, num_buckets)
+
+
 def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
                      add_columns: list[str],
                      project: list[str] | None = None) -> rd.Dataset:

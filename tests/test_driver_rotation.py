@@ -25,7 +25,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     # round-4 additions, placed in the head-50 window
     "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
     "rank_orders_window", "rollup_revenue", "ntile_docs",
-    "moments_lineitem", "corr_lineitem",
+    "moments_lineitem", "corr_lineitem", "mode_event_type",
 }
 
 

@@ -112,3 +112,20 @@ def test_grouped_corr_pairwise_complete_nulls(ray_session):
     sub = df.dropna(subset=["x", "y"])
     np.testing.assert_allclose(got["corr"][0], sub["x"].corr(sub["y"]),
                                rtol=1e-12)
+
+
+def test_grouped_mode_tiebreak_and_skew(ray_session):
+    """Deterministic tie-break (count desc, value asc) and
+    hot-value robustness: a 90%-one-value group costs one counter."""
+    from parallel_dataflow_ray.stages.relational import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3 + ["c"] * 1000,
+        "v": ["x", "x", "y", "y",          # tie -> "x" (smaller)
+              "q", "p", "q",               # clear winner "q"
+              ] + ["hot"] * 900 + ["cold"] * 100})
+    got = grouped_mode(_ds_from(df, 4), ["k"], "v",
+                       num_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["v"].tolist() == ["x", "q", "hot"]
+    assert got["n_mode"].tolist() == [2, 2, 900]
