@@ -1741,6 +1741,68 @@ def mode_event_type(sf_dir: str):
                             num_buckets=16)
 
 
+def tfidf_top_terms(sf_dir: str):
+    """Corpus TF-IDF term weighting: top-3 terms per source by
+    tf x ln(N/df).  Two explode passes over the text (tf per
+    (source, word); df = docs containing the word — per-doc DISTINCT is
+    exact inside a batch because a doc is one row), each reduced by
+    map-side count partials, joined on word via ``bucket_join`` (the
+    df table is O(vocabulary) — a shuffle join, NOT a broadcast: at
+    corpus scale the vocabulary doesn't fit a driver table), then a
+    per-source top-3.  Ranks order by the 1e-6-QUANTIZED score (both
+    sides), so mathematically-tied scores (e.g. 2·ln(10) == ln(100))
+    can't flip rank on a 1-ulp libm difference between numpy and
+    DuckDB."""
+    import math
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "text"])
+    n_docs = ds.count()
+
+    def explode_tf(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].fillna("").str.split(" ").explode()
+        src = b["source"].reindex(words.index)
+        out = pd.DataFrame({"source": src.to_numpy(),
+                            "word": words.to_numpy()})
+        out = out[out["word"] != ""]
+        return out.groupby(["source", "word"], as_index=False) \
+            .size().rename(columns={"size": "tf"})
+
+    def explode_df(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].fillna("").str.split(" ").explode()
+        doc = b["doc_id"].reindex(words.index)
+        out = pd.DataFrame({"doc_id": doc.to_numpy(),
+                            "word": words.to_numpy()})
+        out = out[out["word"] != ""].drop_duplicates()
+        return out.groupby("word", as_index=False) \
+            .size().rename(columns={"size": "df"})
+
+    tf = rel.grouped_sum(ds.map_batches(explode_tf, batch_format="pandas",
+                                        batch_size=1024),
+                         ["source", "word"], ["tf"], num_buckets=16)
+    df = rel.grouped_sum(ds.map_batches(explode_df, batch_format="pandas",
+                                        batch_size=1024),
+                         ["word"], ["df"], num_buckets=16)
+    joined = rel.bucket_join(tf, df, on="word", num_buckets=16)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log(float(n_docs) / b["df"].to_numpy(np.float64))
+        b = b.copy()
+        b["tfidf_micro"] = np.rint(
+            b["tf"].to_numpy(np.float64) * idf * 1e6).astype(np.int64)
+        return b
+
+    scored = joined.map_batches(score, batch_format="pandas")
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "tfidf_micro", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("source", sort=False).head(3)[
+            ["source", "word", "tf", "df", "tfidf_micro"]]
+
+    return rel.bucketed_groupby(scored, ["source"], top3, num_buckets=8)
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -2011,7 +2073,7 @@ QUERIES = {
     "moments_lineitem": moments_lineitem,
     "corr_lineitem": corr_lineitem,
     "mode_event_type": mode_event_type,
-    "distinct_event_types": distinct_event_types,
+    "tfidf_top_terms": tfidf_top_terms,
     # round-4 (this session) additions in the window — displacing
     # ann_self_topk / quantiles_lineitem / heavy_bigrams, whose r02
     # driver rows stand (they stay pytest-mirror-gated every run)
@@ -2025,6 +2087,7 @@ QUERIES = {
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
+    "distinct_event_types": distinct_event_types,
     "anti_join_customers": anti_join_customers,
     "left_join_customer_orders": left_join_customer_orders,
     "outer_join_user_activity": outer_join_user_activity,
@@ -2931,6 +2994,27 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 SELECT doc_id,
        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
+""",
+    # tf-idf with 1e-6-quantized rank key on BOTH sides (no float-tie
+    # rank flips between numpy and duckdb libm)
+    "tfidf_top_terms": """
+WITH w AS (SELECT doc_id, source,
+                  unnest(string_split(COALESCE(text, ''), ' ')) AS word
+           FROM documents),
+w2 AS (SELECT * FROM w WHERE word <> ''),
+tf AS (SELECT source, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+dft AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT tf.source, tf.word, tf.tf, dft.df,
+             CAST(ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dft.df)
+                        * 1e6) AS BIGINT) AS tfidf_micro
+      FROM tf JOIN dft USING (word) CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY tfidf_micro DESC, word) rn
+      FROM s)
+SELECT source, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf_micro
+FROM r WHERE rn <= 3
 """,
     # deterministic-tie-break mode (ROW_NUMBER twin, not bare mode())
     "mode_event_type": """
