@@ -1803,6 +1803,23 @@ def tfidf_top_terms(sf_dir: str):
     return rel.bucketed_groupby(scored, ["source"], top3, num_buckets=8)
 
 
+def build_audio_shards_q(sf_dir: str):
+    """Training-shard materialization (rows-only; concatenated shard
+    blobs reproduce the global resampled stream BIT-EXACTLY incl.
+    boundary-splitting clips, exact shard sizing, and partition
+    invariance in tests/test_audio_prep.py): every clip resampled to
+    16 kHz pcm16, the id-ordered global stream chunked into 10 s
+    blobs — metadata-only offset pass (no decode), then the payload
+    moves once per re-shard; blobs ride as blake2b digests here (the
+    blob column itself is the product a sink would write)."""
+    from ..stages.audio_prep import build_audio_shards
+
+    out = build_audio_shards(_clips_ds(300, 42), shard_ms=10_000,
+                             sr_out=16_000)
+    return out.select_columns(["shard_id", "n_bytes", "n_segments",
+                               "digest"])
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -2137,6 +2154,7 @@ QUERIES = {
     "audio_neardup_clips": audio_neardup_clips_q,
     "decontaminate_clips": decontaminate_clips_q,
     "tonality_clips": tonality_clips_q,
+    "build_audio_shards": build_audio_shards_q,
 }
 
 _TUMBLING_SQL = """

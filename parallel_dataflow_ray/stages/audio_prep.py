@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.audio import (
@@ -1355,3 +1356,124 @@ def clip_dsp_stats(ds: rd.Dataset, *, id_col: str = "clip_id",
     return ds.map_batches(ClipDSPStatsStage(id_col, carry),
                           batch_format="pyarrow", batch_size=batch_size,
                           num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# training-shard materialization (webdataset-style blobs + manifests)
+# ---------------------------------------------------------------------------
+
+def build_audio_shards(ds: rd.Dataset, *, shard_ms: int = 60_000,
+                       sr_out: int = 16_000, id_col: str = "offset",
+                       range_size: int = 1024, num_buckets: int = 16,
+                       batch_size: int = 128) -> rd.Dataset:
+    """Materialize fixed-duration TRAINING SHARDS: the global
+    pcm16@``sr_out`` stream — every clip resampled, ordered by
+    ``id_col``, concatenated — chunked every ``shard_ms`` into one
+    binary blob per shard (clips crossing a shard boundary SPLIT, the
+    concatenate-then-chunk training layout ``token_shards`` indexes).
+
+    100 TB shape, three passes with the payload moving once per
+    re-shard (the op IS a repartition):
+
+    1. METADATA pass, no decode: per-clip resampled length from the
+       resample length law applied to byte lengths -> per-range
+       exclusive prefix offsets (O(corpus/range_size) driver rows,
+       ``packing._range_offsets``), broadcast once via ``ray.put``.
+    2. Payload pass: decode+resample -> co-locate each 1024-id RANGE
+       (id-contiguous blocks mean this shuffle barely moves data) ->
+       exact global sample starts by local cumsum -> emit one
+       (shard_id, start, byte-slice) segment per overlapped shard.
+    3. Shards co-locate -> per-shard ordered concat -> one row per
+       shard: blob + blake2b digest + byte/segment counts (the
+       manifest the loader seeks with).
+
+    Determinism: every blob is a pure function of the input rows
+    (asserted partition-invariant in tests/test_audio_prep.py)."""
+    import hashlib
+
+    import ray
+
+    from ..functions.audio import bytes_per_sample
+    from .packing import _range_offsets
+    from .relational import bucketed_groupby
+
+    cap = shard_ms * sr_out // 1000            # samples per shard
+
+    def meta(t: pa.Table) -> pd.DataFrame:
+        ln = pc.binary_length(t["bytes"]).to_numpy().astype(np.int64)
+        bps = np.array([bytes_per_sample(c)
+                        for c in t["codec"].to_pylist()], np.int64)
+        lens_in = ln // bps
+        sr_in = t["sr_hz"].to_numpy().astype(np.int64)
+        m = (lens_in * sr_out + sr_in // 2) // sr_in
+        m = np.where(lens_in > 0, np.maximum(m, 1), 0)
+        return pd.DataFrame({id_col: t[id_col].to_numpy(), "__w": m})
+
+    offsets = ray.put(_range_offsets(
+        ds.map_batches(meta, batch_format="pyarrow",
+                       batch_size=batch_size),
+        id_col, "__w", range_size))
+
+    res = resample_clips(ds, sr_out, batch_size=batch_size)
+
+    def tag(t: pa.Table) -> pa.Table:
+        rng = pc.divide(t[id_col].cast(pa.int64()),
+                        pa.scalar(range_size, pa.int64()))
+        return t.select([id_col, "bytes", "n_samples"]) \
+            .append_column("__range", rng)
+
+    tagged = res.map_batches(tag, batch_format="pyarrow",
+                             batch_size=batch_size)
+
+    class PerRange:
+        """Instance-as-UDF carrying only the offsets ObjectRef."""
+
+        def __init__(self):
+            self.ref = offsets
+            self.off: dict | None = None
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            if self.off is None:
+                self.off = ray.get(self.ref)
+            g = g.sort_values(id_col, kind="mergesort")
+            m = g["n_samples"].to_numpy(np.int64)
+            base = int(self.off[int(g["__range"].iloc[0])])
+            starts = base + np.cumsum(m) - m
+            ends = starts + m
+            nz = m > 0
+            ks = np.where(nz, starts // cap, 0)
+            ke = np.where(nz, (ends - 1) // cap, -1)
+            cnt = np.where(nz, ke - ks + 1, 0).astype(np.int64)
+            total = int(cnt.sum())
+            if total == 0:
+                return pd.DataFrame({"shard_id": pd.Series(dtype="int64"),
+                                     "seg_start": pd.Series(dtype="int64"),
+                                     "payload": pd.Series(dtype=object)})
+            row = np.repeat(np.arange(len(g)), cnt)
+            j = (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                 + ks[row])
+            seg_s = np.maximum(starts[row], j * cap)
+            seg_e = np.minimum(ends[row], (j + 1) * cap)
+            payloads = g["bytes"].to_numpy()
+            out_pay = [payloads[r][(s - starts[r]) * 2:(e - starts[r]) * 2]
+                       for r, s, e in zip(row, seg_s, seg_e)]
+            return pd.DataFrame({"shard_id": j.astype(np.int64),
+                                 "seg_start": seg_s.astype(np.int64),
+                                 "payload": out_pay})
+
+    segs = bucketed_groupby(tagged, ["__range"], PerRange(),
+                            num_buckets=num_buckets)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid, sub in g.groupby("shard_id", sort=False):
+            sub = sub.sort_values("seg_start", kind="mergesort")
+            blob = b"".join(sub["payload"])
+            rows.append((int(sid), len(blob), len(sub),
+                         hashlib.blake2b(blob, digest_size=16).hexdigest(),
+                         blob))
+        return pd.DataFrame(rows, columns=["shard_id", "n_bytes",
+                                           "n_segments", "digest", "blob"])
+
+    return bucketed_groupby(segs, ["shard_id"], per_shard,
+                            num_buckets=num_buckets)

@@ -887,3 +887,49 @@ def test_clip_dsp_stats_distributed_parity(ray_session):
     pd.testing.assert_frame_equal(got, want)
     assert set(got.columns) == {"clip_id", "dur_ms", "zcr_micro",
                                 "flatness_micro", "centroid_micro"}
+
+
+# ---------------------------------------------------------------------------
+# training-shard materialization
+# ---------------------------------------------------------------------------
+
+def _bf_global_stream(tbl, sr_out):
+    """Driver twin: decode + resample each clip in id order, concat,
+    encode pcm16 -> the global training stream bytes."""
+    from parallel_dataflow_ray.stages.audio_prep import (
+        decode_flat, encode_pcm16_slices, resample_flat)
+    df = tbl.to_pandas().sort_values("offset")
+    flat, lens, off = decode_flat(df["bytes"].tolist(), df["codec"].tolist())
+    out, m = resample_flat(flat, lens, off,
+                           df["sr_hz"].to_numpy().astype(np.int64), sr_out)
+    oo = np.cumsum(m) - m
+    return b"".join(encode_pcm16_slices(out, oo, m))
+
+
+def test_build_audio_shards_reconstructs_global_stream(ray_session):
+    """Concatenating the shard blobs in shard order reproduces the
+    global resampled stream BIT-EXACTLY (boundary-splitting clips
+    included), every shard but the last is exactly shard-sized, and
+    the output is partition-invariant."""
+    import ray.data as rd
+    from parallel_dataflow_ray.stages.audio_prep import build_audio_shards
+
+    tbl = clips_table(40, seed=19)
+    sr_out, shard_ms = 8000, 2000              # many shards + splits
+    cap_bytes = (shard_ms * sr_out // 1000) * 2
+    outs = []
+    for parts in (2, 7):
+        out = build_audio_shards(
+            rd.from_arrow(tbl).repartition(parts), shard_ms=shard_ms,
+            sr_out=sr_out, num_buckets=4).to_pandas() \
+            .sort_values("shard_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    want = _bf_global_stream(tbl, sr_out)
+    assert b"".join(got["blob"]) == want
+    assert (got["n_bytes"][:-1] == cap_bytes).all()
+    assert got["n_bytes"].iloc[-1] == len(want) - cap_bytes * (len(got) - 1)
+    assert (got["shard_id"].to_numpy() == np.arange(len(got))).all()
+    # at least one clip was split across a boundary
+    assert got["n_segments"].sum() > 40
