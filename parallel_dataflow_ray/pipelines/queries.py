@@ -1820,6 +1820,35 @@ def build_audio_shards_q(sf_dir: str):
                                "digest"])
 
 
+def rolling_sum_events(sf_dir: str):
+    """Bounded rolling-window aggregate (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW): each user's 5-event moving spend.  Same
+    bucket-by-key-then-local-mergesort shape as the cumulative window —
+    per-group vectorized pandas rolling sum, never a global sort;
+    integer cents keep it bit-exact."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "value_cents": pa.array(vc)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        g["win5_cents"] = g.groupby("user_id", sort=False)["value_cents"] \
+            .rolling(5, min_periods=1).sum() \
+            .reset_index(level=0, drop=True).astype("int64")
+        return g[["event_id", "user_id", "ts_us", "win5_cents"]]
+
+    return rel.bucketed_groupby(ds, ["user_id"], per_user)
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -2086,11 +2115,11 @@ QUERIES = {
     "sliding_events": sliding_events,
     "session_events": session_events,
     "bpe_token_stats": bpe_token_stats,
-    "broadcast_region_count": broadcast_region_count,
     "moments_lineitem": moments_lineitem,
     "corr_lineitem": corr_lineitem,
     "mode_event_type": mode_event_type,
     "tfidf_top_terms": tfidf_top_terms,
+    "rolling_sum_events": rolling_sum_events,
     # round-4 (this session) additions in the window — displacing
     # ann_self_topk / quantiles_lineitem / heavy_bigrams, whose r02
     # driver rows stand (they stay pytest-mirror-gated every run)
@@ -2101,6 +2130,7 @@ QUERIES = {
     # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
     # keep passing the identical pytest DuckDB gate every run
     "filter_high_value": filter_high_value,
+    "broadcast_region_count": broadcast_region_count,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -3012,6 +3042,16 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 SELECT doc_id,
        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
+""",
+    # bounded rolling window (5-row moving sum per user)
+    "rolling_sum_events": """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS win5_cents
+FROM events
 """,
     # tf-idf with 1e-6-quantized rank key on BOTH sides (no float-tie
     # rank flips between numpy and duckdb libm)
