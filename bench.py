@@ -53,6 +53,10 @@ BATCH_QUERIES = [
     "augment_clips", "kmeans_embeddings",
     "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
     "semdedup_embeddings",
+    # round-4 session-2 additions
+    "rank_orders_window", "rollup_revenue", "ntile_docs",
+    "moments_lineitem", "corr_lineitem", "mode_event_type",
+    "tfidf_top_terms", "rolling_sum_events",
 ]
 
 

@@ -1849,6 +1849,20 @@ def rolling_sum_events(sf_dir: str):
     return rel.bucketed_groupby(ds, ["user_id"], per_user)
 
 
+def transcode_clips_q(sf_dir: str):
+    """Codec transcoding audit (rows-only; exact 2x size law for pcm16
+    sources, requant SNR >= 25 dB laws, audit==recomputed-SNR parity in
+    tests/test_audio_prep.py): every clip re-encoded to mu-law — the
+    storage-compression pass before cold archive — with per-clip bytes
+    in/out and SNR audit columns.  Map-only, zero shuffles; payload
+    bytes dropped from the result."""
+    from ..stages.audio_prep import transcode_clips
+
+    out = transcode_clips(_clips_ds(400, 42), "ulaw")
+    return out.select_columns(["clip_id", "n_bytes_in", "n_bytes_out",
+                               "snr_milli_db"])
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -2185,6 +2199,7 @@ QUERIES = {
     "decontaminate_clips": decontaminate_clips_q,
     "tonality_clips": tonality_clips_q,
     "build_audio_shards": build_audio_shards_q,
+    "transcode_clips": transcode_clips_q,
 }
 
 _TUMBLING_SQL = """

@@ -1477,3 +1477,64 @@ def build_audio_shards(ds: rd.Dataset, *, shard_ms: int = 60_000,
 
     return bucketed_groupby(segs, ["shard_id"], per_shard,
                             num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# codec transcoding (storage-compression pass)
+# ---------------------------------------------------------------------------
+
+class TranscodeStage:
+    """Instance-as-UDF transcode: every clip re-encoded to ``codec_out``
+    (mu-law halves pcm16 storage), with per-clip audit columns —
+    bytes in/out and the re-quantization SNR in milli-dB (measured
+    against the decoded input, exact-integer so the decision columns
+    are batch-composition independent).  One decode + one encode per
+    clip, map-only."""
+
+    def __init__(self, codec_out: str = "ulaw", id_col: str = "clip_id"):
+        if codec_out not in ("ulaw", "pcm16"):
+            raise ValueError(f"unsupported target codec {codec_out!r}")
+        self.codec_out = codec_out
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.audio import decode_clip, encode_clip
+
+        flat, lens, off = decode_flat(t["bytes"].to_pylist(),
+                                      t["codec"].to_pylist())
+        n = lens.size
+        payload, snr_milli = [], np.empty(n, np.int64)
+        for i in range(n):
+            x = flat[off[i]:off[i] + lens[i]]
+            b = encode_clip(x, self.codec_out)
+            payload.append(b)
+            y = decode_clip(b, self.codec_out)
+            err = float(np.sum((x - y) ** 2))
+            sig = float(np.sum(x ** 2))
+            if err <= 0.0:
+                snr_milli[i] = np.iinfo(np.int64).max // 2
+            elif sig <= 0.0:
+                snr_milli[i] = 0
+            else:
+                snr_milli[i] = int(round(10.0 * np.log10(sig / err) * 1e3))
+        bin_in = pa.array(
+            [len(b) for b in t["bytes"].to_pylist()], pa.int64())
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "bytes": pa.array(payload, pa.binary()),
+            "codec": pa.array([self.codec_out] * n),
+            "sr_hz": t["sr_hz"],
+            "n_bytes_in": bin_in,
+            "n_bytes_out": pa.array([len(b) for b in payload], pa.int64()),
+            "snr_milli_db": pa.array(snr_milli)})
+
+
+def transcode_clips(ds: rd.Dataset, codec_out: str = "ulaw", *,
+                    id_col: str = "clip_id",
+                    batch_size: int = 256) -> rd.Dataset:
+    """clips -> re-encoded clips + (bytes in/out, requant SNR) audit —
+    the storage-compression pass a 100 TB archive runs before cold
+    storage.  Map-only, zero shuffles."""
+    return ds.map_batches(TranscodeStage(codec_out, id_col),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          num_cpus=1)

@@ -933,3 +933,44 @@ def test_build_audio_shards_reconstructs_global_stream(ray_session):
     assert (got["shard_id"].to_numpy() == np.arange(len(got))).all()
     # at least one clip was split across a boundary
     assert got["n_segments"].sum() > 40
+
+
+# ---------------------------------------------------------------------------
+# codec transcoding
+# ---------------------------------------------------------------------------
+
+def test_transcode_clips_size_and_snr(ray_session):
+    """mu-law transcode halves pcm16 storage exactly, keeps requant
+    SNR >= 25 dB on the tone fixtures, and the payload round-trips
+    through the standard decoder; pcm16->pcm16 is lossless."""
+    import ray.data as rd
+    from parallel_dataflow_ray.functions.audio import decode_clip
+    from parallel_dataflow_ray.stages.audio_prep import (
+        TranscodeStage, transcode_clips)
+
+    tbl = clips_table(30, seed=9)
+    got = transcode_clips(rd.from_arrow(tbl).repartition(3), "ulaw") \
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    src = tbl.to_pandas().sort_values("clip_id").reset_index(drop=True)
+    pcm16 = src["codec"] == "pcm16"
+    assert (got["n_bytes_out"][pcm16] * 2 == got["n_bytes_in"][pcm16]).all()
+    assert (got["snr_milli_db"] >= 25_000).all(), \
+        got["snr_milli_db"].min()
+    # payload decodes with the standard path to the SNR the audit says
+    # (a ulaw source transcodes losslessly -> the audit sentinel)
+    for i in range(5):
+        x = decode_clip(src["bytes"][i], src["codec"][i])
+        y = decode_clip(got["bytes"][i], "ulaw")
+        err = np.sum((x - y) ** 2)
+        if err == 0.0:
+            assert got["snr_milli_db"][i] > 1e12
+            continue
+        snr = 10 * np.log10(np.sum(x**2) / err)
+        assert abs(snr * 1000 - got["snr_milli_db"][i]) <= 1
+    # pcm16 -> pcm16 is lossless for pcm16 sources (a ulaw source
+    # re-grids to int16 at ~84 dB, not exactly)
+    head = tbl.slice(0, 5)
+    same = TranscodeStage("pcm16")(head).to_pandas()
+    was16 = np.array(head["codec"].to_pylist()) == "pcm16"
+    assert (same["snr_milli_db"][was16] > 1e12).all()
+    assert (same["snr_milli_db"][~was16] >= 60_000).all()
