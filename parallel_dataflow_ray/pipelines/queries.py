@@ -1863,6 +1863,21 @@ def transcode_clips_q(sf_dir: str):
                                "snr_milli_db"])
 
 
+def pca_embeddings(sf_dir: str):
+    """Distributed PCA / embedding whitening (rows-only; distributed
+    fit == driver twin BIT-EXACTLY on the integer-quantized moment
+    sums, partition invariance, orthonormality and total-variance laws
+    in tests/test_similarity.py): exact-integer mean/second-moment
+    partials (O(d^2 x batches) tiny rows shuffle, never vectors), one
+    d x d eigh on the driver, then a broadcast map-only projection to
+    the top-8 components (quantized int64 output columns)."""
+    from ..stages.similarity import pca_fit, pca_transform
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mean, comps, _, _ = pca_fit(ds, k=8)
+    return pca_transform(ds, mean, comps)
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -2200,6 +2215,7 @@ QUERIES = {
     "tonality_clips": tonality_clips_q,
     "build_audio_shards": build_audio_shards_q,
     "transcode_clips": transcode_clips_q,
+    "pca_embeddings": pca_embeddings,
 }
 
 _TUMBLING_SQL = """

@@ -540,3 +540,94 @@ def semdedup(ds: rd.Dataset, *, n_clusters: int = 8,
 
     return bucketed_groupby(assigned, ["cluster"], per_cluster,
                             num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (embedding whitening / dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def pca_fit(ds: rd.Dataset, *, vec_col: str = "embedding",
+            k: int = 8, q_bits: int = 20):
+    """Distributed PCA fit: exact-INTEGER mean/second-moment partials
+    (each row's components and outer products quantized at 2^q_bits
+    before summation — the ``kmeans_fit`` discipline, so the reduction
+    is order/partition-independent and the distributed fit equals a
+    driver-local twin BIT-EXACTLY), then one d x d eigendecomposition
+    on the driver (d is small; the data never leaves the cluster).
+
+    Shuffle cost: each batch emits d(d+3)/2 + 1 long-form (index, sum)
+    rows — O(d^2 x batches) tiny integers, never vectors.  int64 bound:
+    |sum of quantized outer products| <= n * 2^(2*q_bits) (unit-norm
+    rows), so q_bits=20 holds to ~8e6 rows per fit; drop q_bits or
+    hierarchical-reduce beyond.  Returns ``(mean (d,), components
+    (k, d) eigenvalue-descending with a deterministic sign convention,
+    eigenvalues (d,), n)``."""
+    from .relational import grouped_sum
+
+    Q = np.int64(1) << q_bits
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        Xq = np.rint(X * Q).astype(np.int64)
+        d = Xq.shape[1]
+        iu = np.triu_indices(d)
+        # sum of outer products over the batch, upper triangle only
+        S2 = (Xq.T @ Xq)[iu]
+        S1 = Xq.sum(axis=0)
+        idx = np.concatenate(([0], 1 + np.arange(d),
+                              1 + d + np.arange(iu[0].size)))
+        val = np.concatenate(([np.int64(len(b))], S1, S2))
+        return pd.DataFrame({"__i": idx, "__v": val})
+
+    sums = grouped_sum(ds.map_batches(partial, batch_format="pandas",
+                                      batch_size=4096),
+                       ["__i"], ["__v"], num_buckets=4).to_pandas() \
+        .sort_values("__i")
+    v = sums["__v"].to_numpy(np.int64)
+    n = int(v[0])
+    # infer d from the long-form length: 1 + d + d(d+1)/2 rows
+    d = int((np.sqrt(9 + 8 * (v.size - 1)) - 3) // 2)
+    S1 = v[1:1 + d].astype(np.float64)
+    iu = np.triu_indices(d)
+    M2 = np.zeros((d, d), np.float64)
+    M2[iu] = v[1 + d:].astype(np.float64)
+    M2 = M2 + M2.T - np.diag(np.diag(M2))
+    mean = S1 / (n * Q)
+    cov = M2 / (n * Q * Q) - np.outer(mean, mean)
+    w, V = np.linalg.eigh(cov)              # ascending
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    # deterministic sign: largest-|component| entry positive
+    flip = V[np.abs(V).argmax(axis=0), np.arange(d)] < 0
+    V[:, flip] *= -1.0
+    return mean, V[:, :k].T.copy(), w, n
+
+
+def pca_transform(ds: rd.Dataset, mean: np.ndarray,
+                  components: np.ndarray, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id", out_q: int = 1 << 20
+                  ) -> rd.Dataset:
+    """Project every vector onto the fitted components — one broadcast
+    (``ray.put``) + one matmul per batch, map-only; projections are
+    emitted as quantized int64 columns ``p0..p{k-1}`` (deterministic
+    downstream decisions, the repo-wide convention)."""
+    ref = ray.put((mean.astype(np.float64),
+                   components.astype(np.float64)))
+
+    class Project:
+        def __init__(self):
+            self.mc = None
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if self.mc is None:
+                self.mc = ray.get(ref)
+            mean, comps = self.mc
+            X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            P = (X - mean) @ comps.T
+            out = {id_col: b[id_col].to_numpy()}
+            for j in range(comps.shape[0]):
+                out[f"p{j}"] = np.rint(P[:, j] * out_q).astype(np.int64)
+            return pd.DataFrame(out)
+
+    return ds.map_batches(Project(), batch_format="pandas",
+                          batch_size=4096)

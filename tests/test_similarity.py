@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from parallel_dataflow_ray.sources.tables import read_table
 from parallel_dataflow_ray.stages import similarity as sim
@@ -162,3 +163,84 @@ def test_semdedup_matches_bruteforce_twin(ray_session):
     # every planted duplicate collapsed: its fresh id never survives
     assert not set(idp[len(ids):]) & set(got["vec_id"])
     assert (got["n_semdups"] >= 2).sum() >= dup_src.size * 0.9
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA
+# ---------------------------------------------------------------------------
+
+def _pca_driver_twin(X, k, q_bits=20):
+    """Local twin computing the SAME quantized sums."""
+    Q = np.int64(1) << q_bits
+    Xq = np.rint(X * Q).astype(np.int64)
+    n, d = Xq.shape
+    mean = Xq.sum(axis=0).astype(np.float64) / (n * Q)
+    M2 = (Xq.T @ Xq).astype(np.float64)
+    cov = M2 / (n * Q * Q) - np.outer(mean, mean)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    flip = V[np.abs(V).argmax(axis=0), np.arange(d)] < 0
+    V[:, flip] *= -1.0
+    return mean, V[:, :k].T.copy(), w
+
+
+def _emb_df(n=400, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    # anisotropic cloud: a few dominant directions
+    B = rng.normal(0, 1, (d, d))
+    scale = np.geomspace(3.0, 0.1, d)
+    X = rng.normal(0, 1, (n, d)) * scale @ B
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": list(X.astype(np.float32))}), X
+
+
+def test_pca_fit_matches_twin_and_partition_invariant(ray_session):
+    import ray.data as rd
+    from parallel_dataflow_ray.stages.similarity import pca_fit
+
+    df, X = _emb_df()
+    Xf = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    fits = []
+    for parts in (1, 5):
+        ds = rd.from_pandas(df).repartition(parts)
+        fits.append(pca_fit(ds, k=4))
+    m1, C1, w1, n1 = fits[0]
+    m2, C2, w2, n2 = fits[1]
+    # bit-identical across partitionings (integer sums)
+    assert n1 == n2 == len(df)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(C1, C2)
+    np.testing.assert_array_equal(w1, w2)
+    # equals the driver twin exactly (same sums -> same eigh input)
+    mt, Ct, wt = _pca_driver_twin(Xf, 4)
+    np.testing.assert_array_equal(m1, mt)
+    np.testing.assert_array_equal(C1, Ct)
+    # components are orthonormal, eigenvalues descending
+    np.testing.assert_allclose(C1 @ C1.T, np.eye(4), atol=1e-10)
+    assert (np.diff(w1) <= 1e-15).all()
+
+
+def test_pca_transform_and_variance_law(ray_session):
+    import ray.data as rd
+    from parallel_dataflow_ray.stages.similarity import (pca_fit,
+                                                         pca_transform)
+
+    df, _ = _emb_df(n=300, d=12, seed=9)
+    ds = rd.from_pandas(df).repartition(4)
+    mean, comps, w, n = pca_fit(ds, k=12)
+    out = pca_transform(ds, mean, comps).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    P = (X - mean) @ comps.T
+    Q = 1 << 20
+    for j in range(12):
+        np.testing.assert_array_equal(
+            out[f"p{j}"].to_numpy(),
+            np.rint(P[:, j] * Q).astype(np.int64))
+    # variance law: top-k explained variance is monotone and the full
+    # k=d projection keeps the total variance
+    tot = ((X - X.mean(0)) ** 2).sum() / len(X)
+    assert abs(w.sum() - tot) / tot < 1e-6
+    assert w[:4].sum() > 0.5 * tot      # anisotropic fixture
