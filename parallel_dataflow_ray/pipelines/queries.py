@@ -1878,6 +1878,34 @@ def pca_embeddings(sf_dir: str):
     return pca_transform(ds, mean, comps)
 
 
+def pagerank_orders(sf_dir: str):
+    """Iterative numeric fixpoint, oracle-gated: integer-exact PageRank
+    (3 rounds) over the customer<->supplier bipartite graph (one edge
+    per lineitem, both directions; supplier ids offset by 1e9).  Every
+    iteration is pure int64 arithmetic (floor-division contributions,
+    quantized mass — see ``stages/graph.py``), so the distributed run
+    hash-matches the unrolled-CTE DuckDB twin EXACTLY — the Ray
+    restatement of the reference's frontier-batched fixpoint executor
+    (impls/src/parallel.rs:14-91)."""
+    from ..stages.graph import pagerank
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey"])
+    j = rel.bucket_join(orders, li, on="o_orderkey",
+                        right_on="l_orderkey", num_buckets=16)
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        sup = 1_000_000_000 + b["l_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([c, sup]),
+                             "dst": np.concatenate([sup, c])})
+
+    edges = j.map_batches(both_dirs, batch_format="pandas")
+    return pagerank(edges, iters=3, num_buckets=16)
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -2142,7 +2170,7 @@ QUERIES = {
     "stratified_docs": stratified_docs,
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
-    "session_events": session_events,
+    "pagerank_orders": pagerank_orders,
     "bpe_token_stats": bpe_token_stats,
     "moments_lineitem": moments_lineitem,
     "corr_lineitem": corr_lineitem,
@@ -2160,6 +2188,7 @@ QUERIES = {
     # keep passing the identical pytest DuckDB gate every run
     "filter_high_value": filter_high_value,
     "broadcast_region_count": broadcast_region_count,
+    "session_events": session_events,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -3073,6 +3102,55 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 SELECT doc_id,
        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
+""",
+    # integer-exact PageRank, 3 unrolled iterations (pure int64 math on
+    # both sides -> hash-exact despite being an iterative fixpoint)
+    "pagerank_orders": """
+WITH e AS (
+  SELECT o_custkey AS src, 1000000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 1000000000 + l_suppkey AS src, o_custkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst AS node FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (SELECT node,
+               CAST(1073741824 // (SELECT n FROM nn) AS BIGINT) AS rank_q
+        FROM nodes),
+pr1 AS (
+  SELECT n.node,
+         CAST((SELECT ((3::BIGINT * 1073741824) // 20) // n FROM nn)
+              + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank_q
+  FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, SUM(p.rank_q // d.deg) AS s
+      FROM pr0 p
+      JOIN deg d ON d.node = p.node
+      JOIN e ON e.src = p.node
+      GROUP BY 1) s ON s.node = n.node),
+pr2 AS (
+  SELECT n.node,
+         CAST((SELECT ((3::BIGINT * 1073741824) // 20) // n FROM nn)
+              + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank_q
+  FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, SUM(p.rank_q // d.deg) AS s
+      FROM pr1 p
+      JOIN deg d ON d.node = p.node
+      JOIN e ON e.src = p.node
+      GROUP BY 1) s ON s.node = n.node),
+pr3 AS (
+  SELECT n.node,
+         CAST((SELECT ((3::BIGINT * 1073741824) // 20) // n FROM nn)
+              + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank_q
+  FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, SUM(p.rank_q // d.deg) AS s
+      FROM pr2 p
+      JOIN deg d ON d.node = p.node
+      JOIN e ON e.src = p.node
+      GROUP BY 1) s ON s.node = n.node)
+SELECT node, rank_q FROM pr3
 """,
     # bounded rolling window (5-row moving sum per user)
     "rolling_sum_events": """

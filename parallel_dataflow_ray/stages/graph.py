@@ -1,0 +1,116 @@
+"""Iterative graph fixpoints on Ray Data.
+
+The reference engine IS an iterative fixpoint framework (worklist /
+frontier-batched executors over semilattice states —
+`utils/src/dataflow_executor.rs:15-94`, `impls/src/parallel.rs:14-91`);
+this module carries that identity to a numeric fixpoint at corpus
+scale: PageRank as a bounded sequence of joins + map-side-combined
+aggregations, with EVERY iteration in pure integer arithmetic so the
+distributed run is bit-identical to any re-partitioning AND to a SQL
+twin (the one numeric fixpoint shape a DuckDB oracle can gate
+hash-exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def pagerank(edges: rd.Dataset, *, iters: int = 5, q_bits: int = 30,
+             damp_num: int = 17, damp_den: int = 20,
+             num_buckets: int = 32) -> rd.Dataset:
+    """Integer-exact PageRank over an (src, dst) edge Dataset.
+
+    Semantics (deliberately integer — deterministic by construction):
+    ranks live as int64 ``rank_q`` with one unit = 2^-q_bits of mass;
+    each iteration every edge ships ``rank_q // deg`` (floor) to its
+    destination, and nodes update as ``base_q + (damp_num * inbound) //
+    damp_den`` with ``base_q = (((damp_den - damp_num) * Q) // damp_den)
+    // N``.  Floor division leaks a few units of mass per node per
+    round — irrelevant for ranking, and it buys EXACT reproducibility:
+    every sum is an int64 sum, so any partitioning, any fold order, and
+    the unrolled SQL twin produce bit-identical ranks (the same
+    quantize-before-sum discipline as ``kmeans_fit`` and the streaming
+    kernels).  Multi-edges are honored (a pair appearing k times ships
+    k contributions — matches the SQL twin's multiset join).
+
+    100 TB shape, per iteration: ONE bucket join of the edge table
+    against the O(nodes) rank state (edges never change — at extreme
+    scale persist them pre-bucketed so only the rank side re-shuffles)
+    + ONE map-side-combined grouped sum of contributions + ONE left
+    join back onto the node table.  Rank state is materialized between
+    rounds (it is O(nodes), the small table) to keep lineage bounded —
+    the edge table itself is never materialized.
+    """
+    from .relational import bucket_join, grouped_sum
+
+    if not 0 < damp_num < damp_den:
+        raise ValueError("damping must satisfy 0 < damp_num < damp_den")
+    Q = np.int64(1) << q_bits
+
+    def ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)])})
+
+    nodes = grouped_sum(edges.map_batches(ends, batch_format="pandas"),
+                        ["node"], [], count_as="__c",
+                        num_buckets=num_buckets) \
+        .map_batches(lambda b: b[["node"]], batch_format="pandas") \
+        .materialize()
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: b.assign(rank_q=np.int64(0)), batch_format="pandas")
+    init_q = int(Q) // n
+    base_q = (((damp_den - damp_num) * int(Q)) // damp_den) // n
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["src"].to_numpy(np.int64),
+                             "deg": np.ones(len(b), np.int64)})
+
+    deg = grouped_sum(edges.map_batches(ones, batch_format="pandas"),
+                      ["node"], ["deg"], num_buckets=num_buckets)
+    state = bucket_join(nodes, deg, on="node", how="left",
+                        num_buckets=num_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"].to_numpy(np.int64),
+            "deg": b["deg"].fillna(0).to_numpy(np.int64),
+            "rank_q": np.full(len(b), init_q, np.int64)}),
+        batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        j = bucket_join(
+            edges,
+            state.map_batches(lambda b: b.rename(columns={"node": "src"}),
+                              batch_format="pandas"),
+            on="src", num_buckets=num_buckets)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["deg"].to_numpy(np.int64)
+            r = b["rank_q"].to_numpy(np.int64)
+            keep = d > 0
+            return pd.DataFrame({
+                "node": b["dst"].to_numpy(np.int64)[keep],
+                "__c": r[keep] // d[keep]})
+
+        inbound = grouped_sum(j.map_batches(contrib,
+                                            batch_format="pandas"),
+                              ["node"], ["__c"], num_buckets=num_buckets)
+
+        def update(b: pd.DataFrame) -> pd.DataFrame:
+            s = b["__c"].fillna(0).to_numpy(np.int64)
+            return pd.DataFrame({
+                "node": b["node"].to_numpy(np.int64),
+                "deg": b["deg"].fillna(0).to_numpy(np.int64),
+                "rank_q": base_q + (damp_num * s) // damp_den})
+
+        state = bucket_join(state.map_batches(
+            lambda b: b[["node", "deg"]], batch_format="pandas"),
+            inbound, on="node", how="left",
+            num_buckets=num_buckets).map_batches(
+            update, batch_format="pandas").materialize()
+
+    return state.map_batches(lambda b: b[["node", "rank_q"]],
+                             batch_format="pandas")

@@ -26,7 +26,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
     "rank_orders_window", "rollup_revenue", "ntile_docs",
     "moments_lineitem", "corr_lineitem", "mode_event_type",
-    "tfidf_top_terms", "rolling_sum_events",
+    "tfidf_top_terms", "rolling_sum_events", "pagerank_orders",
 }
 
 
