@@ -725,6 +725,19 @@ def simhash_neardup(sf_dir: str):
     return dd.simhash_candidates(docs, max_hamming=3)
 
 
+def editdist_neardup_docs(sf_dir: str):
+    """EXACT edit-distance near-dup self-join, oracle-gated: all doc
+    pairs whose 64-char text prefixes are within 4 Levenshtein edits —
+    PassJoin pigeonhole-segment blocking (recall 1 by construction) +
+    batched vectorized DP verify, hash-matched against DuckDB's
+    ``levenshtein``.  The exact rung between hash-equality dedup and
+    the probabilistic sketch family (see ``stages/editdist.py``)."""
+    from ..stages.editdist import edit_distance_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(docs, prefix_chars=64, max_dist=4)
+
+
 def ngram_jaccard_neardup(sf_dir: str):
     """Exact word-3-gram Jaccard >= 0.5 pairs via the inverted-index
     set-similarity join (SQL-checked; no LSH approximation)."""
@@ -2169,8 +2182,8 @@ QUERIES = {
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
     "tumbling_events": tumbling_events,
-    "sliding_events": sliding_events,
     "pagerank_orders": pagerank_orders,
+    "editdist_neardup_docs": editdist_neardup_docs,
     "bpe_token_stats": bpe_token_stats,
     "moments_lineitem": moments_lineitem,
     "corr_lineitem": corr_lineitem,
@@ -2189,6 +2202,7 @@ QUERIES = {
     "filter_high_value": filter_high_value,
     "broadcast_region_count": broadcast_region_count,
     "session_events": session_events,
+    "sliding_events": sliding_events,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
     "reservoir_docs": reservoir_docs,
@@ -3151,6 +3165,15 @@ pr3 AS (
       JOIN e ON e.src = p.node
       GROUP BY 1) s ON s.node = n.node)
 SELECT node, rank_q FROM pr3
+""",
+    # exact prefix-Levenshtein near-dup self-join (DuckDB levenshtein
+    # is byte-level; engine matches: char prefix, UTF-8-byte DP)
+    "editdist_neardup_docs": """
+WITH p AS (SELECT doc_id, substr(COALESCE(text,''),1,64) AS pre FROM documents),
+d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+      FROM p a JOIN p b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, dist FROM d WHERE dist <= 4
 """,
     # bounded rolling window (5-row moving sum per user)
     "rolling_sum_events": """
