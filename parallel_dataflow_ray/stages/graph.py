@@ -51,33 +51,29 @@ def pagerank(edges: rd.Dataset, *, iters: int = 5, q_bits: int = 30,
     Q = np.int64(1) << q_bits
 
     def ends(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": np.concatenate(
-            [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)])})
+        # one emission covers both the node set and the out-degree:
+        # src endpoints carry deg 1, dst endpoints deg 0, so the single
+        # grouped sum yields (node, deg) with sink nodes at deg 0 —
+        # ONE shuffle builds the whole initial state
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "node": np.concatenate([s, d]),
+            "deg": np.concatenate([np.ones(len(s), np.int64),
+                                   np.zeros(len(d), np.int64)])})
 
-    nodes = grouped_sum(edges.map_batches(ends, batch_format="pandas"),
-                        ["node"], [], count_as="__c",
-                        num_buckets=num_buckets) \
-        .map_batches(lambda b: b[["node"]], batch_format="pandas") \
-        .materialize()
-    n = nodes.count()
+    node_deg = grouped_sum(edges.map_batches(ends, batch_format="pandas"),
+                           ["node"], ["deg"],
+                           num_buckets=num_buckets).materialize()
+    n = node_deg.count()
     if n == 0:
-        return nodes.map_batches(
-            lambda b: b.assign(rank_q=np.int64(0)), batch_format="pandas")
+        return node_deg.map_batches(
+            lambda b: b[["node"]].assign(rank_q=np.int64(0)),
+            batch_format="pandas")
     init_q = int(Q) // n
     base_q = (((damp_den - damp_num) * int(Q)) // damp_den) // n
-
-    def ones(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": b["src"].to_numpy(np.int64),
-                             "deg": np.ones(len(b), np.int64)})
-
-    deg = grouped_sum(edges.map_batches(ones, batch_format="pandas"),
-                      ["node"], ["deg"], num_buckets=num_buckets)
-    state = bucket_join(nodes, deg, on="node", how="left",
-                        num_buckets=num_buckets).map_batches(
-        lambda b: pd.DataFrame({
-            "node": b["node"].to_numpy(np.int64),
-            "deg": b["deg"].fillna(0).to_numpy(np.int64),
-            "rank_q": np.full(len(b), init_q, np.int64)}),
+    state = node_deg.map_batches(
+        lambda b: b.assign(rank_q=np.full(len(b), init_q, np.int64)),
         batch_format="pandas").materialize()
 
     for _ in range(iters):
