@@ -606,6 +606,17 @@ def reservoir_docs(sf_dir: str):
     return smp.reservoir_sample(ds, 100, id_col="doc_id", seed=7)
 
 
+def sample_weighted_docs(sf_dir: str):
+    """Weighted systematic sample, oracle-gated: cut the cumulative
+    n_chars line (doc_id order) every total//200 units; a doc is drawn
+    once per cut its weight interval covers — deterministic importance
+    sampling with replacement on the distributed two-pass prefix scan
+    (``stages/sampling.py::weighted_systematic_sample``)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return smp.weighted_systematic_sample(ds, 200, id_col="doc_id",
+                                          weight_col="n_chars")
+
+
 def stratified_docs(sf_dir: str):
     """Per-language stratified sample: exactly ceil(0.2 * n_lang) rows
     per stratum, smallest (hash, id) within each."""
@@ -2181,7 +2192,7 @@ QUERIES = {
     "sort_events": sort_events,
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
-    "tumbling_events": tumbling_events,
+    "sample_weighted_docs": sample_weighted_docs,
     "pagerank_orders": pagerank_orders,
     "editdist_neardup_docs": editdist_neardup_docs,
     "bpe_token_stats": bpe_token_stats,
@@ -2202,6 +2213,7 @@ QUERIES = {
     "filter_high_value": filter_high_value,
     "broadcast_region_count": broadcast_region_count,
     "session_events": session_events,
+    "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
     "union_orders": union_orders,
     "sample_docs": sample_docs,
@@ -2528,6 +2540,24 @@ SELECT doc_id, lang FROM documents
 ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 7) % 4294967296,
          doc_id
 LIMIT 100
+""",
+    # weighted systematic sampling: cuts of the cumulative-weight line
+    # (exclusive window SUM), n_hits = cuts covered by the row's span
+    "sample_weighted_docs": """
+WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents),
+t AS (SELECT GREATEST(1, SUM(n_chars) // 200) AS stride FROM w),
+c AS (SELECT doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM w)
+SELECT doc_id, n_chars,
+       CAST((cb + n_chars) // (SELECT stride FROM t)
+            - cb // (SELECT stride FROM t) AS BIGINT) AS n_hits
+FROM c
+WHERE (cb + n_chars) // (SELECT stride FROM t)
+      - cb // (SELECT stride FROM t) > 0
 """,
     "stratified_docs": """
 WITH h AS (SELECT doc_id, lang,

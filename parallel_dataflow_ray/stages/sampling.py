@@ -124,3 +124,82 @@ def cap_per_key(ds: rd.Dataset, key: str, k: int, *, id_col: str,
         return g[rank < k].drop(columns="__pri")
 
     return bucketed_groupby(ds, [key], per_key)
+
+
+def weighted_systematic_sample(ds: rd.Dataset, k: int, *, id_col: str,
+                               weight_col: str,
+                               range_size: int = 1024) -> rd.Dataset:
+    """Weighted systematic (stride) sampling — integer-exact, SQL-gated.
+
+    Lay the rows out on the weight axis in ``id_col`` order (the
+    cumulative-weight line), cut it every ``stride = total_weight //
+    k`` units, and keep each row whose weight interval covers >= 1
+    cut, with ``n_hits`` = number of cuts covered (a row heavier than
+    the stride draws multiple times — importance sampling with
+    replacement, the deterministic mixture-weighting shape an LM data
+    pipeline uses to up/down-weight sources).  Inclusion count is
+    proportional to weight by construction and reproducible across
+    runs, partitionings, and retries — no RNG anywhere, so the DuckDB
+    twin (a window SUM) gates it bit-exactly.  Cuts sit at stride,
+    2*stride, ...; a row with exclusive-prefix ``cb`` and weight ``w``
+    covers the cuts in the half-open interval (cb, cb+w], i.e.
+    ``(cb+w)//stride - cb//stride`` of them.
+
+    Scale shape: the same two-pass distributed prefix scan as
+    ``token_shards`` (stages/packing.py) — per-range totals (one tiny
+    row per range reaches the driver), exclusive offsets broadcast via
+    ``ray.put``, per-range local cumsum.  The corpus shuffles once (by
+    range bucket) and never materializes.
+
+    Output: (id, weight, n_hits), n_hits >= 1, in id order per range.
+    """
+    import ray
+
+    from .relational import bucketed_groupby, grouped_sum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, weight_col]].copy()
+        b["__range"] = b[id_col].to_numpy() // range_size
+        return b
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    # pass 1: per-range totals -> exclusive offsets + grand total
+    totals = grouped_sum(
+        tagged.map_batches(
+            lambda b: b.rename(columns={weight_col: "__w"})
+                       [["__range", "__w"]],
+            batch_format="pandas"),
+        ["__range"], ["__w"]).to_pandas().sort_values("__range")
+    total = int(totals["__w"].sum())
+    stride = max(1, total // k)
+    cum = totals["__w"].cumsum().shift(1, fill_value=0).astype("int64")
+    ref = ray.put(dict(zip(totals["__range"].astype("int64"), cum)))
+
+    class PerRange:
+        """Instance-as-UDF: ships only the ObjectRef of the offsets."""
+
+        def __init__(self):
+            self.ref = ref
+            self.off: dict | None = None
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            if self.off is None:
+                self.off = ray.get(self.ref)
+            parts = []
+            for rid, sub in g.groupby("__range", sort=False):
+                sub = sub.sort_values(id_col, kind="mergesort")
+                w = sub[weight_col].to_numpy(np.int64)
+                cb = int(self.off[int(rid)]) + (np.cumsum(w) - w)
+                hits = (cb + w) // stride - cb // stride
+                keep = hits > 0
+                parts.append(pd.DataFrame({
+                    id_col: sub[id_col].to_numpy(np.int64)[keep],
+                    weight_col: w[keep],
+                    "n_hits": hits[keep].astype(np.int64)}))
+            return pd.concat(parts, ignore_index=True)
+
+    return bucketed_groupby(tagged, ["__range"], PerRange())
