@@ -58,6 +58,7 @@ BATCH_QUERIES = [
     "moments_lineitem", "corr_lineitem", "mode_event_type",
     "tfidf_top_terms", "rolling_sum_events",
     "pagerank_orders", "editdist_neardup_docs", "sample_weighted_docs",
+    "cube_revenue", "entropy_by_user", "cume_dist_docs",
 ]
 
 

@@ -2107,6 +2107,93 @@ def rollup_revenue(sf_dir: str):
                      ignore_index=True)
 
 
+def cube_revenue(sf_dir: str):
+    """Full CUBE(priority, status): the finest grouped level costs the
+    ONE partials-only shuffle; all 2^2 coarser grouping sets are
+    re-aggregations of that tiny result on the driver — a cube never
+    needs 4 corpus scans ('ALL' sentinel as in ``rollup_revenue``)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"priority": t["o_orderpriority"],
+                         "status": t["o_orderstatus"],
+                         "revenue_cents": pa.array(cents),
+                         "n_orders": pa.array(
+                             np.ones(t.num_rows, np.int64))})
+
+    fine = rel.grouped_sum(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["priority", "status"], ["revenue_cents", "n_orders"],
+        num_buckets=8).to_pandas()
+    vals = ["revenue_cents", "n_orders"]
+    by_p = fine.groupby("priority", as_index=False)[vals].sum()
+    by_p["status"] = "ALL"
+    by_s = fine.groupby("status", as_index=False)[vals].sum()
+    by_s["priority"] = "ALL"
+    tot = pd.DataFrame({"priority": ["ALL"], "status": ["ALL"],
+                        "revenue_cents": [fine["revenue_cents"].sum()],
+                        "n_orders": [fine["n_orders"].sum()]})
+    cols = ["priority", "status", *vals]
+    return pd.concat([fine[cols], by_p[cols], by_s[cols], tot[cols]],
+                     ignore_index=True)
+
+
+def entropy_by_user(sf_dir: str):
+    """Per-user Shannon entropy (nats) of the event-type distribution —
+    the mixture-diversity audit a curation pipeline runs per source.
+    One partials-only shuffle gets (user, type) counts; the entropy is
+    a vectorized groupby-transform over that tiny grouped result —
+    the corpus itself never re-shuffles."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    counts = rel.grouped_sum(
+        ds.map_batches(
+            lambda t: pa.table({"user_id": t["user_id"],
+                                "event_type": t["event_type"],
+                                "n": pa.array(np.ones(t.num_rows,
+                                                      np.int64))}),
+            batch_format="pyarrow", batch_size=65536),
+        ["user_id", "event_type"], ["n"], num_buckets=16)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        tot = grp["n"].transform("sum").to_numpy(np.float64)
+        p = g["n"].to_numpy(np.int64) / tot
+        ent = pd.Series(-p * np.log(p), index=g.index)
+        out = ent.groupby(g["user_id"], sort=False).sum().reset_index()
+        out.columns = ["user_id", "entropy_nats"]
+        n_types = grp.size().reset_index(name="n_types")
+        out["n_types"] = n_types["n_types"].astype("int64").to_numpy()
+        return out
+
+    return rel.bucketed_groupby(counts, ["user_id"], per_user)
+
+
+def cume_dist_docs(sf_dir: str):
+    """CUME_DIST per source over doc length: fraction of the source's
+    docs with n_chars <= this row's — bucketed by source so each
+    partition's window is complete; one mergesort + a vectorized
+    searchsorted per bucket, never a global sort."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "n_chars"], kind="mergesort")
+        grp = g.groupby("source", sort=False)
+        n = grp["n_chars"].transform("size").to_numpy(np.int64)
+        # rows with n_chars <= mine = last occurrence rank of my key
+        le = grp["n_chars"].transform(
+            lambda s: s.searchsorted(s, side="right")).to_numpy(np.int64)
+        g["cume"] = le / n
+        return g[["doc_id", "source", "cume"]]
+
+    return rel.bucketed_groupby(ds, ["source"], per_source)
+
+
 def ntile_docs(sf_dir: str):
     """Global NTILE(10) over the corpus ordered by (n_chars, doc_id) —
     the "bucket the corpus into deciles by length" shape — WITHOUT a
@@ -2162,12 +2249,9 @@ QUERIES = {
     "stream_tumbling_events": stream_tumbling_events,
     "stream_join_events": stream_join_events,
     "stream_join_events_salted": stream_join_events_salted,
-    "funnel_events": funnel_events,
     "stream_funnel_events": stream_funnel_events,
-    "kleene_funnel_events": kleene_funnel_events,
     "stream_kleene_events": stream_kleene_events,
     "stream_topk_event_types": stream_topk_event_types,
-    "exact_dedup_docs": exact_dedup_docs,
     "dup_spans_docs": dup_spans_docs,
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
     "curate_docs": curate_docs,
@@ -2206,6 +2290,9 @@ QUERIES = {
     # driver rows stand (they stay pytest-mirror-gated every run)
     "rank_orders_window": rank_orders_window,
     "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
+    "entropy_by_user": entropy_by_user,
+    "cume_dist_docs": cume_dist_docs,
     "ntile_docs": ntile_docs,
     # ---- gated but past the head-50 this round: all are
     # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
@@ -2213,6 +2300,9 @@ QUERIES = {
     "filter_high_value": filter_high_value,
     "broadcast_region_count": broadcast_region_count,
     "session_events": session_events,
+    "funnel_events": funnel_events,
+    "kleene_funnel_events": kleene_funnel_events,
+    "exact_dedup_docs": exact_dedup_docs,
     "tumbling_events": tumbling_events,
     "sliding_events": sliding_events,
     "union_orders": union_orders,
@@ -3141,6 +3231,33 @@ SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    # full 2-dim CUBE ('ALL' sentinel; fixture keys are never NULL)
+    "cube_revenue": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    # per-user event-type distribution entropy (nats)
+    "entropy_by_user": """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, event_type, n,
+             SUM(n) OVER (PARTITION BY user_id) AS tot FROM c)
+SELECT user_id,
+       SUM(-(n / tot) * ln(n / tot)) AS entropy_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM t GROUP BY user_id
+""",
+    # CUME_DIST per source over doc length
+    "cume_dist_docs": """
+SELECT doc_id, source,
+       CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars) AS cume
+FROM documents
 """,
     "ntile_docs": """
 SELECT doc_id,

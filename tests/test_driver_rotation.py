@@ -27,7 +27,8 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "rank_orders_window", "rollup_revenue", "ntile_docs",
     "moments_lineitem", "corr_lineitem", "mode_event_type",
     "tfidf_top_terms", "rolling_sum_events", "pagerank_orders",
-    "editdist_neardup_docs", "sample_weighted_docs",
+    "editdist_neardup_docs", "sample_weighted_docs", "cube_revenue",
+    "entropy_by_user", "cume_dist_docs",
 }
 
 
