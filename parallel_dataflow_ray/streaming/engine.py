@@ -177,6 +177,15 @@ class PartitionWorker:
         self.max_offset = d["max_offset"]
         return epoch
 
+    def reload_sink(self) -> None:
+        """Re-read sink manifests from disk — required after a rescaled
+        resume revokes epochs (the actor cached the manifest at
+        construction, before the revoke rewrote it)."""
+        if self.sink is not None:
+            self.sink.manifest = self.sink._load_manifest()
+        if self.late_sink is not None:
+            self.late_sink.manifest = self.late_sink._load_manifest()
+
     def reset(self, sink_root: str | None, ckpt_root: str | None,
               late_root: str | None = None) -> None:
         """Fresh stream on the same (warm) process: rebuild operator state
@@ -474,10 +483,48 @@ class StreamEngine:
         self._cur_workers = workers
         start_epoch = 0
         if self.ckpt_root and not reuse:
-            re = CheckpointStore.resume_epoch(self.ckpt_root, self.P)
-            if re is not None:
-                ray.get([w.restore.remote(re) for w in workers])
-                start_epoch = re + 1
+            from .reshard import (list_checkpoint_partitions,
+                                  reshard_snapshots,
+                                  revoke_sink_epochs_after)
+
+            p_old = list_checkpoint_partitions(self.ckpt_root)
+            if p_old and p_old != self.P:
+                # RESCALED resume (Flink-style): re-key the old layout's
+                # state to this run's P, persist the new layout at the
+                # same epoch, revoke sink output past the checkpoint so
+                # replay re-emits it under the new partitioning exactly
+                # once (see streaming/reshard.py)
+                re = CheckpointStore.resume_epoch(self.ckpt_root, p_old)
+                if re is not None:
+                    import os as _os
+                    import shutil as _sh
+
+                    olds = [CheckpointStore(self.ckpt_root, p).load(re)
+                            for p in range(p_old)]
+                    blobs = reshard_snapshots(
+                        self.op_kind, self.op_kwargs,
+                        [d["op"] for d in olds], self.P)
+                    wm = max(d["watermark"] for d in olds)
+                    moff = max(d["max_offset"] for d in olds)
+                    for p in range(self.P):
+                        CheckpointStore(self.ckpt_root, p).save(
+                            re, blobs[p], wm, moff)
+                    for p in range(self.P, p_old):
+                        _sh.rmtree(_os.path.join(self.ckpt_root,
+                                                 f"p{p:05d}"),
+                                   ignore_errors=True)
+                    if self.sink_root:
+                        revoke_sink_epochs_after(self.sink_root, re)
+                    if self.late_root:
+                        revoke_sink_epochs_after(self.late_root, re)
+                    ray.get([w.reload_sink.remote() for w in workers])
+                    ray.get([w.restore.remote(re) for w in workers])
+                    start_epoch = re + 1
+            else:
+                re = CheckpointStore.resume_epoch(self.ckpt_root, self.P)
+                if re is not None:
+                    ray.get([w.restore.remote(re) for w in workers])
+                    start_epoch = re + 1
 
         per_epoch_emitted: list[list[dict]] = []
         metrics: list[dict] = []
