@@ -1930,6 +1930,42 @@ def pagerank_orders(sf_dir: str):
     return pagerank(edges, iters=3, num_buckets=16)
 
 
+def pagerank_orders_smb(sf_dir: str):
+    """Same fixpoint as ``pagerank_orders`` (same oracle), computed via
+    the persisted hash-bucketed edge layout: edges are written bucketed
+    by src ONCE (``stages/bucketed_io.py``), then every iteration's
+    join is an ``smb_probe_join`` — only the O(nodes) rank state
+    crosses the wire per round, the edge table never re-shuffles.
+    Gate-equivalence of the two paths is the point: the layout changes
+    the exchange plan, not one bit of the result."""
+    import shutil
+    import tempfile
+
+    from ..stages.graph import pagerank
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey"])
+    j = rel.bucket_join(orders, li, on="o_orderkey",
+                        right_on="l_orderkey", num_buckets=16)
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["o_custkey"].to_numpy(np.int64)
+        sup = 1_000_000_000 + b["l_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([c, sup]),
+                             "dst": np.concatenate([sup, c])})
+
+    edges = j.map_batches(both_dirs, batch_format="pandas")
+    layout = tempfile.mkdtemp(prefix="pagerank_smb_", dir="/tmp")
+    try:
+        out = pagerank(edges, iters=3, num_buckets=16,
+                       edges_layout=layout).materialize()
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+    return out
+
+
 def tonality_clips_q(sf_dir: str):
     """Per-clip DSP quality statistics + tonality classification
     (rows-only; signal-theory laws — sine zcr == 2f/sr, noise flatness
@@ -2249,7 +2285,6 @@ QUERIES = {
     "stream_tumbling_events": stream_tumbling_events,
     "stream_join_events": stream_join_events,
     "stream_join_events_salted": stream_join_events_salted,
-    "stream_funnel_events": stream_funnel_events,
     "stream_kleene_events": stream_kleene_events,
     "stream_topk_event_types": stream_topk_event_types,
     "dup_spans_docs": dup_spans_docs,
@@ -2278,6 +2313,7 @@ QUERIES = {
     "stratified_docs": stratified_docs,
     "sample_weighted_docs": sample_weighted_docs,
     "pagerank_orders": pagerank_orders,
+    "pagerank_orders_smb": pagerank_orders_smb,
     "editdist_neardup_docs": editdist_neardup_docs,
     "bpe_token_stats": bpe_token_stats,
     "moments_lineitem": moments_lineitem,
@@ -2301,6 +2337,7 @@ QUERIES = {
     "broadcast_region_count": broadcast_region_count,
     "session_events": session_events,
     "funnel_events": funnel_events,
+    "stream_funnel_events": stream_funnel_events,
     "kleene_funnel_events": kleene_funnel_events,
     "exact_dedup_docs": exact_dedup_docs,
     "tumbling_events": tumbling_events,
@@ -3385,6 +3422,10 @@ FROM lineitem GROUP BY l_returnflag
     # (sketches), ivf_topk (approximate), stream_audio_energy,
     # audio_features (engine-specific audio DSP)
 }
+
+# the SMB-layout PageRank is the SAME computation down to the bit —
+# one oracle gates both exchange plans
+ORACLE_SQL["pagerank_orders_smb"] = ORACLE_SQL["pagerank_orders"]
 
 
 def flagship_entry():

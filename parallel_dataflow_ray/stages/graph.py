@@ -20,7 +20,8 @@ import ray.data as rd
 
 def pagerank(edges: rd.Dataset, *, iters: int = 5, q_bits: int = 30,
              damp_num: int = 17, damp_den: int = 20,
-             num_buckets: int = 32) -> rd.Dataset:
+             num_buckets: int = 32,
+             edges_layout: str | None = None) -> rd.Dataset:
     """Integer-exact PageRank over an (src, dst) edge Dataset.
 
     Semantics (deliberately integer — deterministic by construction):
@@ -37,12 +38,19 @@ def pagerank(edges: rd.Dataset, *, iters: int = 5, q_bits: int = 30,
     k contributions — matches the SQL twin's multiset join).
 
     100 TB shape, per iteration: ONE bucket join of the edge table
-    against the O(nodes) rank state (edges never change — at extreme
-    scale persist them pre-bucketed so only the rank side re-shuffles)
-    + ONE map-side-combined grouped sum of contributions + ONE left
-    join back onto the node table.  Rank state is materialized between
-    rounds (it is O(nodes), the small table) to keep lineage bounded —
-    the edge table itself is never materialized.
+    against the O(nodes) rank state + ONE map-side-combined grouped sum
+    of contributions + ONE left join back onto the node table.  Rank
+    state is materialized between rounds (it is O(nodes), the small
+    table) to keep lineage bounded — the edge table itself is never
+    materialized.
+
+    ``edges_layout``: directory for a persisted hash-bucketed edge
+    layout (``stages/bucketed_io.py``).  When set, the edge table is
+    written bucketed by ``src`` ONCE and every iteration's join becomes
+    an ``smb_probe_join`` — only the O(nodes) rank state crosses the
+    wire per round; the edges never re-shuffle.  This is the required
+    shape at graph scale: per-round cost drops from O(edges) exchange
+    to O(nodes) exchange + co-located bucket reads.
     """
     from .relational import bucket_join, grouped_sum
 
@@ -76,12 +84,22 @@ def pagerank(edges: rd.Dataset, *, iters: int = 5, q_bits: int = 30,
         lambda b: b.assign(rank_q=np.full(len(b), init_q, np.int64)),
         batch_format="pandas").materialize()
 
+    if edges_layout is not None:
+        from .bucketed_io import smb_probe_join, write_bucketed
+
+        write_bucketed(edges, edges_layout, "src",
+                       num_buckets=num_buckets)
+
     for _ in range(iters):
-        j = bucket_join(
-            edges,
-            state.map_batches(lambda b: b.rename(columns={"node": "src"}),
-                              batch_format="pandas"),
-            on="src", num_buckets=num_buckets)
+        rank_side = state.map_batches(
+            lambda b: b.rename(columns={"node": "src"}),
+            batch_format="pandas")
+        if edges_layout is not None:
+            # edges stay put; only the O(nodes) rank state shuffles
+            j = smb_probe_join(rank_side, edges_layout, probe_on="src")
+        else:
+            j = bucket_join(edges, rank_side, on="src",
+                            num_buckets=num_buckets)
 
         def contrib(b: pd.DataFrame) -> pd.DataFrame:
             d = b["deg"].to_numpy(np.int64)
