@@ -132,9 +132,13 @@ class PartitionWorker:
                  sink_root: str | None, ckpt_root: str | None,
                  partial_keys: frozenset = frozenset(),
                  sink_durable: bool = True, track_keys: bool = False,
-                 late_root: str | None = None):
+                 late_root: str | None = None,
+                 fail_at: dict | None = None):
         import time
         self._time = time
+        #: test-only one-shot fault: hard-exit this actor at (partition,
+        #: epoch) unless the marker file already records the kill
+        self._fail_at = fail_at
         self.partition = partition
         if op_kind == "window" and partial_keys:
             op_kwargs = dict(op_kwargs, partial_keys=partial_keys)
@@ -209,6 +213,15 @@ class PartitionWorker:
                      shards: list) -> list[tuple]:
         """Phase 1: fold shards, close windows; buffer finished rows and
         return partial states (salted keys) for owner-side merge."""
+        if (self._fail_at is not None
+                and self.partition == self._fail_at["partition"]
+                and epoch == self._fail_at["epoch"]):
+            import os as _os
+            marker = self._fail_at["marker"]
+            if not _os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("killed")
+                _os._exit(1)        # simulate an abrupt actor loss
         t0 = self._time.perf_counter()
         # shards arrive as ObjectRefs inside a list (deliberately NOT
         # top-level args, so Ray does not copy them into the actor queue);
@@ -313,7 +326,9 @@ class StreamEngine:
                  hot_key_config: dict | None = None,
                  map_side_combine: bool | str = "auto",
                  join_broadcast_side: int = 1,
-                 late_root: str | None = None):
+                 late_root: str | None = None,
+                 max_recoveries: int = 2,
+                 failure_injection: dict | None = None):
         self.op_kind = op_kind
         self.op_kwargs = op_kwargs
         self.P = num_partitions
@@ -346,6 +361,14 @@ class StreamEngine:
         self._workers = None
         self._splitters: list = []
         self._split_rr = 0
+        #: self-healing: an actor lost mid-run (OOM kill, node loss) is
+        #: recovered INSIDE run() by falling back to the proven
+        #: checkpoint-resume path — up to this many times per run()
+        self.max_recoveries = max_recoveries
+        #: test-only deterministic fault: {"partition": p, "epoch": e,
+        #: "marker": path} — that partition's actor hard-exits once at
+        #: that epoch (the marker file makes the injection one-shot)
+        self.failure_injection = failure_injection
         self.salted_keys = dict(salted_keys) if salted_keys else None
         if self.op_kind not in ("window", "join") and self.salted_keys:
             raise ValueError("salted_keys applies to the windowed aggregate "
@@ -435,9 +458,41 @@ class StreamEngine:
         / a partial final-epoch commit via ``commit_partitions``).
 
         Returns {"emitted": rows-per-epoch if collect, "metrics": ...,
-        "start_epoch": resumed-from, "watermarks": schedule}.  Resume is
-        automatic when the checkpoint root holds a complete epoch.
+        "start_epoch": resumed-from, "recoveries": actor-losses healed,
+        "watermarks": schedule}.  Resume is automatic when the
+        checkpoint root holds a complete epoch.
+
+        SELF-HEALING: a partition actor lost mid-run (OOM kill, node
+        failure) does not fail the job — when a checkpoint root is
+        configured, the engine tears the pool down and re-enters the
+        run body, which restores every partition from the last complete
+        checkpoint and replays forward; the epoch-idempotent sink
+        absorbs any re-emissions (the exact machinery the kill/resume
+        matrix verifies).  The sink contract is unaffected; in
+        ``collect`` mode only the final attempt's replayed epochs are
+        collected — read the sink for the full stream.
         """
+        recoveries = 0
+        while True:
+            try:
+                res = self._run_once(
+                    epochs, ts_column=ts_column, collect=collect,
+                    stop_after_epoch=stop_after_epoch,
+                    commit_partitions=commit_partitions,
+                    final_flush=final_flush)
+                res["recoveries"] = recoveries
+                return res
+            except ray.exceptions.RayActorError:
+                if not self.ckpt_root or recoveries >= self.max_recoveries:
+                    raise
+                recoveries += 1
+                self.close()
+
+    def _run_once(self, epochs: list[pa.Table], *,
+                  ts_column: str = "event_ts",
+                  collect: bool = False, stop_after_epoch: int | None = None,
+                  commit_partitions: set[int] | None = None,
+                  final_flush: bool = False) -> dict:
         wm_sched = self._schedule(epochs, ts_column)
         reuse = self._workers is not None
         if not reuse and self.P == 0:
@@ -470,7 +525,7 @@ class StreamEngine:
                         self.ckpt_root,
                         frozenset(self.salted_keys) if self.salted_keys else frozenset(),
                         self.sink_durable, self.hot_key_config is not None,
-                        self.late_root)
+                        self.late_root, self.failure_injection)
                 for p in range(self.P)
             ]
             # zero-CPU actors: concurrency is bounded by the pool size, and
