@@ -1918,7 +1918,7 @@ def pagerank_orders(sf_dir: str):
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey"])
     j = rel.bucket_join(orders, li, on="o_orderkey",
-                        right_on="l_orderkey", num_buckets=16)
+                        right_on="l_orderkey", num_buckets=32)
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         c = b["o_custkey"].to_numpy(np.int64)
@@ -1927,7 +1927,7 @@ def pagerank_orders(sf_dir: str):
                              "dst": np.concatenate([sup, c])})
 
     edges = j.map_batches(both_dirs, batch_format="pandas")
-    return pagerank(edges, iters=3, num_buckets=16)
+    return pagerank(edges, iters=3, num_buckets=32)
 
 
 def pagerank_orders_smb(sf_dir: str):
@@ -1948,7 +1948,7 @@ def pagerank_orders_smb(sf_dir: str):
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey"])
     j = rel.bucket_join(orders, li, on="o_orderkey",
-                        right_on="l_orderkey", num_buckets=16)
+                        right_on="l_orderkey", num_buckets=32)
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         c = b["o_custkey"].to_numpy(np.int64)
@@ -1959,7 +1959,7 @@ def pagerank_orders_smb(sf_dir: str):
     edges = j.map_batches(both_dirs, batch_format="pandas")
     layout = tempfile.mkdtemp(prefix="pagerank_smb_", dir="/tmp")
     try:
-        out = pagerank(edges, iters=3, num_buckets=16,
+        out = pagerank(edges, iters=3, num_buckets=32,
                        edges_layout=layout).materialize()
     finally:
         shutil.rmtree(layout, ignore_errors=True)
