@@ -181,6 +181,18 @@ def revoke_sink_epochs_after(sink_root: str, epoch: int) -> int:
         drop = [e for e in manifest["epochs"] if int(e) > epoch]
         if not drop:
             continue
+        folded = [e for e in drop if manifest["epochs"][e].get("compacted")]
+        if folded:
+            # a compacted epoch's rows live merged inside consolidated
+            # files — they cannot be revoked row-exactly.  Refuse loudly
+            # rather than silently duplicating output: compaction is a
+            # maintenance pass for epochs that will never be replayed
+            # (same-P resume is unaffected — commit dedup keys off the
+            # manifest entry, which survives compaction)
+            raise RuntimeError(
+                f"cannot rescale past compacted epochs {sorted(folded)} "
+                f"in {fn}: compact only streams that will not be "
+                f"rescale-resumed beyond their last checkpoint")
         for e in drop:
             frag = manifest["epochs"][e].get("fragment")
             if frag:

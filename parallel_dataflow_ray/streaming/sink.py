@@ -143,20 +143,9 @@ class ExactlyOnceSink:
     # -- reader side -------------------------------------------------------
     @staticmethod
     def read_all(root: str) -> pa.Table | None:
-        """Read exactly the committed fragments (manifest-driven)."""
-        man_dir = os.path.join(root, "manifest")
-        frags = []
-        if not os.path.isdir(man_dir):
-            return None
-        for name in sorted(os.listdir(man_dir)):
-            if not name.endswith(".json"):
-                continue
-            with open(os.path.join(man_dir, name)) as f:
-                man = json.load(f)
-            for epoch in sorted(man["epochs"], key=int):
-                frag = man["epochs"][epoch]["fragment"]
-                if frag:
-                    frags.append(os.path.join(root, "data", frag))
+        """Read exactly the committed fragments (manifest-driven),
+        including post-compaction consolidated files."""
+        frags = ExactlyOnceSink.committed_files(root)
         if not frags:
             return None
 
@@ -183,3 +172,113 @@ class ExactlyOnceSink:
             for epoch, rec in sorted(man["epochs"].items(), key=lambda kv: int(kv[0])):
                 out.append({"partition": man["partition"], "epoch": int(epoch), **rec})
         return out
+
+    # -- maintenance ---------------------------------------------------------
+    @staticmethod
+    def compact(root: str, *, target_rows: int = 1_000_000) -> dict:
+        """Fold each partition's many per-epoch fragments into few large
+        ones — the small-files compaction a 10^12-row stream needs (a
+        year of 1-minute epochs is ~500k fragments/partition otherwise).
+
+        Crash-safe and exactly-once-preserving, per partition:
+
+        1. read the committed per-epoch fragments (manifest-driven),
+           write consolidated ``compact-*.parquet`` files of
+           ~``target_rows`` via tmp+fsync+rename;
+        2. atomically rewrite the manifest: per-epoch entries keep their
+           lineage fields (rows, watermark, offsets) but point
+           ``fragment: null``; consolidated files live in a new
+           ``compacted`` list (readers take epochs' fragments + the
+           compacted list — identical rows before/after);
+        3. only after the manifest rename, delete the old fragments.
+
+        A crash before (2) leaves orphan compact-*.tmp files (ignored);
+        after (2) re-running skips already-compacted epochs (idempotent).
+        ``commit()`` of NEW epochs keeps working afterwards — epoch
+        numbering and replay dedup key off the manifest, not fragment
+        files.  Returns {"partitions", "fragments_removed", "files_written"}.
+        """
+        man_dir = os.path.join(root, "manifest")
+        data_dir = os.path.join(root, "data")
+        stats = {"partitions": 0, "fragments_removed": 0, "files_written": 0}
+        if not os.path.isdir(man_dir):
+            return stats
+        for name in sorted(os.listdir(man_dir)):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(man_dir, name)
+            with open(path) as f:
+                man = json.load(f)
+            frag_epochs = [(int(e), rec) for e, rec in man["epochs"].items()
+                           if rec.get("fragment")]
+            if len(frag_epochs) <= 1:
+                continue
+            frag_epochs.sort()
+            pid = man["partition"]
+            tables, old_paths = [], []
+            for _e, rec in frag_epochs:
+                fp = os.path.join(data_dir, rec["fragment"])
+                tables.append(pq.read_table(fp))
+                old_paths.append(fp)
+            merged = pa.concat_tables(tables, promote_options="default")
+            seq = len(man.get("compacted", []))
+            new_files = []
+            for lo in range(0, max(merged.num_rows, 1), target_rows):
+                part = merged.slice(lo, target_rows)
+                fn = f"p{pid:05d}-compact-{seq:04d}.parquet"
+                seq += 1
+                out = os.path.join(data_dir, fn)
+                tmp = out + ".tmp"
+                pq.write_table(part, tmp)
+                with open(tmp, "rb+") as f:
+                    os.fsync(f.fileno())
+                os.rename(tmp, out)
+                new_files.append(fn)
+            for _e, rec in frag_epochs:
+                rec["fragment"] = None
+                rec["compacted"] = True
+            man["compacted"] = man.get("compacted", []) + new_files
+            _atomic_write_bytes(path, json.dumps(man).encode(), durable=True)
+            for fp in old_paths:
+                if os.path.exists(fp):
+                    os.remove(fp)
+            stats["partitions"] += 1
+            stats["fragments_removed"] += len(old_paths)
+            stats["files_written"] += len(new_files)
+        return stats
+
+    @staticmethod
+    def committed_files(root: str) -> list[str]:
+        """Every committed data file (per-epoch fragments + compacted),
+        manifest-driven — the exactly-once read set."""
+        man_dir = os.path.join(root, "manifest")
+        files = []
+        if not os.path.isdir(man_dir):
+            return files
+        for name in sorted(os.listdir(man_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(man_dir, name)) as f:
+                man = json.load(f)
+            for fn in man.get("compacted", []):
+                files.append(os.path.join(root, "data", fn))
+            for epoch in sorted(man["epochs"], key=int):
+                frag = man["epochs"][epoch]["fragment"]
+                if frag:
+                    files.append(os.path.join(root, "data", frag))
+        return files
+
+
+def read_stream_output(root: str, columns: list[str] | None = None):
+    """The committed stream output as a Ray Dataset (manifest-driven:
+    exactly the exactly-once read set, never torn/uncommitted files;
+    column-pruned at the parquet reader) — how a downstream batch
+    pipeline consumes this engine's sink."""
+    import ray.data as rd
+
+    files = ExactlyOnceSink.committed_files(root)
+    if not files:
+        import pyarrow as _pa
+
+        return rd.from_arrow(_pa.table({}))
+    return rd.read_parquet(files, columns=columns)
