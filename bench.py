@@ -59,7 +59,7 @@ BATCH_QUERIES = [
     "tfidf_top_terms", "rolling_sum_events",
     "pagerank_orders", "editdist_neardup_docs", "sample_weighted_docs",
     "cube_revenue", "entropy_by_user", "cume_dist_docs",
-    "pagerank_orders_smb",
+    "pagerank_orders_smb", "shuffle_docs_epoch",
 ]
 
 

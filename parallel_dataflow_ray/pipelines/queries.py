@@ -617,6 +617,16 @@ def sample_weighted_docs(sf_dir: str):
                                           weight_col="n_chars")
 
 
+def shuffle_docs_epoch(sf_dir: str):
+    """Deterministic training-epoch reshuffle, oracle-gated: every doc
+    gets a (shard, pos) from a seed-keyed pseudo-random permutation —
+    new seed per epoch = fresh global mix; same seed = bit-identical
+    order on any retry/resume (``sampling.py::epoch_shuffle``; the
+    reproducible alternative to ``Dataset.random_shuffle``)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return smp.epoch_shuffle(ds, id_col="doc_id", seed=5, num_shards=64)
+
+
 def stratified_docs(sf_dir: str):
     """Per-language stratified sample: exactly ceil(0.2 * n_lang) rows
     per stratum, smallest (hash, id) within each."""
@@ -2293,7 +2303,6 @@ QUERIES = {
     "curate_neardup_docs": curate_neardup_docs,
     "topk_users_hourly": topk_users_hourly,
     "decontaminate_docs": decontaminate_docs,
-    "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "dedup_incremental_docs": dedup_incremental_docs,
     "chunk_docs": chunk_docs,
     "source_mixture": source_mixture,
@@ -2312,6 +2321,7 @@ QUERIES = {
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
     "sample_weighted_docs": sample_weighted_docs,
+    "shuffle_docs_epoch": shuffle_docs_epoch,
     "pagerank_orders": pagerank_orders,
     "pagerank_orders_smb": pagerank_orders_smb,
     "editdist_neardup_docs": editdist_neardup_docs,
@@ -2336,6 +2346,7 @@ QUERIES = {
     "filter_high_value": filter_high_value,
     "broadcast_region_count": broadcast_region_count,
     "session_events": session_events,
+    "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "funnel_events": funnel_events,
     "stream_funnel_events": stream_funnel_events,
     "kleene_funnel_events": kleene_funnel_events,
@@ -2667,6 +2678,17 @@ SELECT doc_id, lang FROM documents
 ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 7) % 4294967296,
          doc_id
 LIMIT 100
+""",
+    # deterministic epoch reshuffle: seed-keyed permutation (shard, pos)
+    "shuffle_docs_epoch": """
+WITH h AS (SELECT doc_id,
+                  ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761 + 5)
+                  % 4294967296 AS hv
+           FROM documents)
+SELECT doc_id, CAST(hv % 64 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % 64 ORDER BY hv, doc_id)
+            - 1 AS BIGINT) AS pos
+FROM h
 """,
     # weighted systematic sampling: cuts of the cumulative-weight line
     # (exclusive window SUM), n_hits = cuts covered by the row's span

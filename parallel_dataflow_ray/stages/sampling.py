@@ -203,3 +203,37 @@ def weighted_systematic_sample(ds: rd.Dataset, k: int, *, id_col: str,
             return pd.concat(parts, ignore_index=True)
 
     return bucketed_groupby(tagged, ["__range"], PerRange())
+
+
+def epoch_shuffle(ds: rd.Dataset, *, id_col: str, seed: int,
+                  num_shards: int = 64) -> rd.Dataset:
+    """Deterministic training-epoch reshuffle: assign every row a
+    (shard, pos) drawn from a pseudo-random permutation keyed by
+    ``seed`` — change the seed per epoch and the corpus re-shuffles;
+    keep it and a resumed/retried job sees the identical order (the
+    property ``Dataset.random_shuffle`` cannot give you).  Shard =
+    ``h % num_shards``, pos = rank of (h, id) within the shard — one
+    bucketed shuffle + a per-shard mergesort, no global sort.  The
+    multiplicative hash is ANSI-SQL-expressible, so the full
+    permutation is oracle-gated bit-exactly.
+
+    Output: (id, shard, pos); a reader streams shard files in pos
+    order for a globally well-mixed epoch.
+    """
+    from .relational import bucketed_groupby
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = mult_hash(b[id_col].to_numpy(), seed).astype(np.int64)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                             "__h": h,
+                             "shard": h % num_shards})
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "__h", id_col], kind="mergesort")
+        pos = g.groupby("shard", sort=False).cumcount().astype("int64")
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             "shard": g["shard"].to_numpy(np.int64),
+                             "pos": pos.to_numpy()})
+
+    return bucketed_groupby(ds.map_batches(tag, batch_format="pandas"),
+                            ["shard"], per_shard)

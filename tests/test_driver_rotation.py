@@ -28,7 +28,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "moments_lineitem", "corr_lineitem", "mode_event_type",
     "tfidf_top_terms", "rolling_sum_events", "pagerank_orders",
     "editdist_neardup_docs", "sample_weighted_docs", "cube_revenue",
-    "entropy_by_user", "cume_dist_docs", "pagerank_orders_smb",
+    "entropy_by_user", "cume_dist_docs", "pagerank_orders_smb", "shuffle_docs_epoch",
 }
 
 
