@@ -2050,6 +2050,7 @@ def repetition_docs(sf_dir: str):
 
 
 AUDIO_SHARD_MS = 60_000      # one training shard = 60 s of audio
+SPEAKER_BUDGET_MS = 8_000    # per-speaker duration cap (earliest kept)
 
 
 def pack_audio_shards(sf_dir: str):
@@ -2074,6 +2075,38 @@ def pack_audio_shards(sf_dir: str):
     return out.map_batches(lambda b: b.rename(columns={
         "pack_id": "shard_id", "pack_offset": "shard_offset"}),
         batch_format="pandas")
+
+
+def speaker_budget_clips(sf_dir: str):
+    """Per-speaker duration-budget cap (``sampling.cap_budget_per_key``)
+    — the anti-skew curation every large audio corpus needs: cap each
+    speaker at 8 s of audio, keeping their EARLIEST clips, so hot
+    speakers can't dominate a training mix.  Pseudo-clips derive
+    deterministically from orders (clip_id = o_orderkey, speaker =
+    o_custkey % 97 so the budget binds even at sf0.001, dur_ms =
+    300 + key % 1500, event time = o_orderdate) — the same derivation
+    the SQL twin applies, so the bucketed prefix-scan kernel is
+    driver-oracle-gated against a window-SUM oracle."""
+    from ..stages.sampling import cap_budget_per_key
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def clips(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "clip_id": pa.array(k),
+            "speaker": pa.array(t["o_custkey"].to_numpy()
+                                .astype(np.int64) % 97),
+            "dur_ms": pa.array(300 + (k % 1500)),
+            "ts_us": t["o_orderdate"].cast(pa.int64())})
+
+    ds = ds.map_batches(clips, batch_format="pyarrow", batch_size=65536)
+    out = cap_budget_per_key(ds, "speaker", SPEAKER_BUDGET_MS,
+                             weight_col="dur_ms",
+                             order_cols=["ts_us", "clip_id"])
+    return out.select_columns(["clip_id", "speaker", "dur_ms",
+                               "cum_dur_ms"])
 
 
 def semdedup_embeddings(sf_dir: str):
@@ -2316,8 +2349,8 @@ QUERIES = {
     "gopher_quality_docs": gopher_quality_docs,
     "repetition_docs": repetition_docs,
     "pack_audio_shards": pack_audio_shards,
+    "speaker_budget_clips": speaker_budget_clips,
     # displaced-in-r2/r3 entries rotated back through the window
-    "sort_events": sort_events,
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
     "sample_weighted_docs": sample_weighted_docs,
@@ -2340,6 +2373,9 @@ QUERIES = {
     "entropy_by_user": entropy_by_user,
     "cume_dist_docs": cume_dist_docs,
     "ntile_docs": ntile_docs,
+    # rotated out this session to admit speaker_budget_clips (r02
+    # driver row stands; pytest-mirror-gated every run)
+    "sort_events": sort_events,
     # ---- gated but past the head-50 this round: all are
     # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
     # keep passing the identical pytest DuckDB gate every run
@@ -3263,6 +3299,27 @@ SELECT CAST(clip_id AS BIGINT) AS clip_id,
        CAST(off // 60000 AS BIGINT) AS shard_id,
        CAST(off % 60000 AS BIGINT) AS shard_offset
 FROM o
+""",
+    # per-speaker duration budget: keep each speaker's earliest clips
+    # while the running total BEFORE the row is under the budget (the
+    # crossing row is kept) — window SUM twin of cap_budget_per_key
+    "speaker_budget_clips": f"""
+WITH d AS (SELECT o_orderkey AS clip_id,
+                  o_custkey % 97 AS speaker,
+                  300 + (o_orderkey % 1500) AS dur_ms,
+                  epoch_us(o_orderdate) AS ts_us
+           FROM orders),
+o AS (SELECT clip_id, speaker, dur_ms,
+             SUM(dur_ms) OVER (PARTITION BY speaker
+                               ORDER BY ts_us, clip_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_dur_ms
+      FROM d)
+SELECT CAST(clip_id AS BIGINT) AS clip_id,
+       CAST(speaker AS BIGINT) AS speaker,
+       CAST(dur_ms AS BIGINT) AS dur_ms,
+       CAST(cum_dur_ms AS BIGINT) AS cum_dur_ms
+FROM o WHERE cum_dur_ms - dur_ms < {SPEAKER_BUDGET_MS}
 """,
     # ROW_NUMBER + LAG per customer; gap to previous order in us,
     # -1 for the first order (matching the Ray side's fillna)

@@ -126,6 +126,41 @@ def cap_per_key(ds: rd.Dataset, key: str, k: int, *, id_col: str,
     return bucketed_groupby(ds, [key], per_key)
 
 
+def cap_budget_per_key(ds: rd.Dataset, key: str, budget: int, *,
+                       weight_col: str, order_cols: list[str]
+                       ) -> rd.Dataset:
+    """Per-key WEIGHTED budget cap — the duration-hours analog of
+    :func:`cap_per_key`: within each key, keep the prefix of rows (in
+    ``order_cols`` order, which must totally order the key's rows for
+    determinism) while the running total of ``weight_col`` BEFORE the
+    row is still under ``budget``.  The row that crosses the budget is
+    kept (the budget is "exhausted by" it), everything after is
+    dropped — the standard anti-skew curation shape for audio corpora
+    ("cap every speaker at N minutes, keep their earliest clips"), and
+    the exact distributed twin of SQL's
+    ``SUM(w) OVER (PARTITION BY key ORDER BY ... ) - w < budget``.
+
+    One bucketed shuffle on the key; per bucket a mergesort + grouped
+    cumsum (vectorized, no per-key Python loop).  A hot key costs
+    O(its rows) in one task — linear, unlike pair-generation skew.
+    Output adds ``cum_<weight_col>`` (the inclusive running total) so
+    consumers can see how much budget each survivor consumed."""
+    from .relational import bucketed_groupby
+
+    cum_col = f"cum_{weight_col}"
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        w = g[weight_col].to_numpy()
+        cum = g.groupby(key, sort=False)[weight_col].cumsum().to_numpy()
+        keep = (cum - w) < budget
+        out = g.loc[keep].copy()
+        out[cum_col] = cum[keep]
+        return out
+
+    return bucketed_groupby(ds, [key], per_key)
+
+
 def weighted_systematic_sample(ds: rd.Dataset, k: int, *, id_col: str,
                                weight_col: str,
                                range_size: int = 1024) -> rd.Dataset:
