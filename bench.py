@@ -60,6 +60,7 @@ BATCH_QUERIES = [
     "pagerank_orders", "editdist_neardup_docs", "sample_weighted_docs",
     "cube_revenue", "entropy_by_user", "cume_dist_docs",
     "pagerank_orders_smb", "shuffle_docs_epoch",
+    "speaker_budget_clips",
 ]
 
 
