@@ -1837,6 +1837,23 @@ def tfidf_top_terms(sf_dir: str):
     return rel.bucketed_groupby(scored, ["source"], top3, num_buckets=8)
 
 
+def unigram_logprob_docs(sf_dir: str):
+    """CCNet/Wenzek-style unigram-LM quality scoring (``stages/lm.py``):
+    train a capped-vocabulary unigram model over the corpus (one
+    map-side-combined token-count shuffle, O(vocab) rows move), then
+    score every doc MAP-ONLY against the broadcast model — per-token
+    log-probs quantized to integer micro-nats BEFORE summation so the
+    per-doc sums are partition-invariant and bit-match the SQL twin.
+    vocab_size=16 makes the OOV floor BIND at every sf (the synthetic
+    corpus vocabulary is 31 words, so ~half of it collapses into the
+    unseen-mass bucket — the scale mechanism is exercised, not just
+    configured)."""
+    from ..stages.lm import unigram_logprob
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_logprob(ds, vocab_size=16)
+
+
 def build_audio_shards_q(sf_dir: str):
     """Training-shard materialization (rows-only; concatenated shard
     blobs reproduce the global resampled stream BIT-EXACTLY incl.
@@ -2350,8 +2367,10 @@ QUERIES = {
     "repetition_docs": repetition_docs,
     "pack_audio_shards": pack_audio_shards,
     "speaker_budget_clips": speaker_budget_clips,
+    # unigram-LM quality scoring (round-4 late addition) — admitted by
+    # rotating r2-green lang_count back out (row stands; pytest-gated)
+    "unigram_logprob_docs": unigram_logprob_docs,
     # displaced-in-r2/r3 entries rotated back through the window
-    "lang_count": lang_count,
     "stratified_docs": stratified_docs,
     "sample_weighted_docs": sample_weighted_docs,
     "shuffle_docs_epoch": shuffle_docs_epoch,
@@ -2373,9 +2392,11 @@ QUERIES = {
     "entropy_by_user": entropy_by_user,
     "cume_dist_docs": cume_dist_docs,
     "ntile_docs": ntile_docs,
-    # rotated out this session to admit speaker_budget_clips (r02
-    # driver row stands; pytest-mirror-gated every run)
+    # rotated out this session to admit speaker_budget_clips /
+    # unigram_logprob_docs (r02 driver rows stand; pytest-mirror-gated
+    # every run)
     "sort_events": sort_events,
+    "lang_count": lang_count,
     # ---- gated but past the head-50 this round: all are
     # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
     # keep passing the identical pytest DuckDB gate every run
@@ -3368,6 +3389,40 @@ SELECT user_id,
        SUM(-(n / tot) * ln(n / tot)) AS entropy_nats,
        CAST(COUNT(*) AS BIGINT) AS n_types
 FROM t GROUP BY user_id
+""",
+    # unigram-LM quality scoring: capped-vocab (64) model trained on
+    # the corpus itself (vocab 16 of 31 words -> the OOV floor binds),
+    # per-token log-probs quantized to integer micro-nats before
+    # summation (matches stages/lm.py bit-for-bit)
+    "unigram_logprob_docs": """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+tk AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+vocab AS (SELECT tok, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r FROM cnt),
+model AS (SELECT v.tok,
+                 CAST(ROUND(ln(CAST(v.n AS DOUBLE) / t.t) * 1e6) AS BIGINT)
+                     AS lp
+          FROM vocab v, tot t WHERE v.r <= 16),
+oovlp AS (SELECT CAST(ROUND(ln(1.0 / t.t) * 1e6) AS BIGINT) AS lp
+          FROM tot t),
+scored AS (SELECT tk.doc_id,
+                  COALESCE(m.lp, (SELECT lp FROM oovlp)) AS lp,
+                  CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END AS oov
+           FROM tk LEFT JOIN model m ON tk.tok = m.tok),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(lp) AS BIGINT) AS logprob_micro
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_oov, 0) AS n_oov,
+       COALESCE(a.logprob_micro, 0) AS logprob_micro,
+       COALESCE(a.logprob_micro * 1.0 / a.n_tokens, 0.0)
+           AS avg_logprob_micro
+FROM d LEFT JOIN agg a USING (doc_id)
 """,
     # CUME_DIST per source over doc length
     "cume_dist_docs": """

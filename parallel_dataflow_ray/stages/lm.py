@@ -1,0 +1,130 @@
+"""Unigram language-model quality scoring — the CCNet/Wenzek et al.
+perplexity-filter shape (score every document by a broadcast LM; keep
+or bucket by score) re-expressed Ray-Data-first.
+
+The production recipe scores a crawl with a KenLM model trained on a
+trusted corpus; the engine-shaped part — and what this module builds —
+is (1) TRAIN a capped-vocabulary unigram model over a Dataset with one
+map-side-combined token-count shuffle, and (2) SCORE every document
+map-only against the broadcast model.  The corpus text never shuffles;
+the model is O(vocab_size) and ships once via ``ray.put``.
+
+Determinism discipline: per-token log-probs are quantized to integer
+MICRO-NATS before any summation (the repo-wide exact-integer rule, cf.
+``tfidf_top_terms``), so per-doc sums are order/partition invariant and
+bit-match the DuckDB twin's ``SUM`` over the same quantized terms.
+
+Reference analog: the pluggable pass over a parsed corpus
+(`utils/src/dataflow_spec.rs:5-31`) — a pure per-unit scoring function
+driven by a globally-derived model, the same shape as ConstProp's
+globally-initialised lattice.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from . import relational as rel
+
+__all__ = ["unigram_model", "score_docs_logprob", "unigram_logprob"]
+
+
+def _count_tokens_fn(text_col: str):
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        words = b[text_col].fillna("").str.split(" ").explode()
+        words = words[words != ""]
+        vc = words.value_counts(sort=False)
+        return pd.DataFrame({"word": vc.index.to_numpy(),
+                             "n": vc.to_numpy(np.int64)})
+    return counts
+
+
+def unigram_model(ds: rd.Dataset, *, text_col: str = "text",
+                  vocab_size: int = 65536, num_buckets: int = 16,
+                  batch_size: int = 1024):
+    """Train the capped-vocab unigram model: returns
+    ``(vocab_index, lp_micro, oov_lp_micro, total_tokens)`` where
+    ``vocab_index`` is a ``pd.Index`` of the top-``vocab_size`` tokens
+    by (count desc, token asc) and ``lp_micro[i]`` is
+    ``rint(ln(count_i / total) * 1e6)`` as int64.  Out-of-vocabulary
+    tokens score ``ln(1 / total)`` (a single unseen-mass floor).
+
+    One explode pass with per-batch ``value_counts`` partials, one
+    grouped-sum shuffle sized O(vocab); the count table materializes
+    once (it is the model — at corpus scale persist it like
+    ``load_or_train_centroids`` persists k-means centroids).  The cap
+    is what makes the broadcast bounded at 100 TB: the long tail of
+    hapax tokens collapses into the OOV floor instead of shipping to
+    every scoring task."""
+    counts = rel.grouped_sum(
+        ds.map_batches(_count_tokens_fn(text_col), batch_format="pandas",
+                       batch_size=batch_size),
+        ["word"], ["n"], num_buckets=num_buckets).materialize()
+
+    total = int(counts.sum("n") or 0)
+    top = rel.top_k(counts, [("n", True), ("word", False)],
+                    vocab_size).to_pandas()
+    lp_micro = np.rint(np.log(
+        top["n"].to_numpy(np.float64) / float(total)) * 1e6).astype(np.int64)
+    oov_lp = int(np.rint(np.log(1.0 / float(total)) * 1e6)) if total else 0
+    return pd.Index(top["word"]), lp_micro, oov_lp, total
+
+
+def score_docs_logprob(ds: rd.Dataset, vocab: pd.Index,
+                       lp_micro: np.ndarray, oov_lp_micro: int, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       batch_size: int = 1024) -> rd.Dataset:
+    """Score every doc against the broadcast model — map-only, zero
+    shuffles.  Emits one row per input doc: ``n_tokens``, ``n_oov``,
+    ``logprob_micro`` (int64 sum of quantized per-token log-probs —
+    partition/replay invariant), and ``avg_logprob_micro`` (the
+    quality-filter ranking key; 0.0 for empty docs).  The model rides
+    the object store once (``ray.put``), never per batch."""
+    model_ref = ray.put((np.asarray(vocab), lp_micro))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        v, lp = ray.get(model_ref)
+        vi = pd.Index(v)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        ex = ex[ex != ""]
+        pos = vi.get_indexer(ex.to_numpy()) if len(ex) else \
+            np.empty(0, np.int64)
+        oov = pos < 0
+        tok_lp = np.where(oov, np.int64(oov_lp_micro),
+                          lp[np.where(oov, 0, pos)])
+        per = pd.DataFrame({id_col: b[id_col].reindex(ex.index).to_numpy(),
+                            "lp": tok_lp,
+                            "oov": oov.astype(np.int64)})
+        agg = per.groupby(id_col, sort=False).agg(
+            n_tokens=("lp", "size"), n_oov=("oov", "sum"),
+            logprob_micro=("lp", "sum"))
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()}).merge(
+            agg, left_on=id_col, right_index=True, how="left")
+        for c in ("n_tokens", "n_oov", "logprob_micro"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        n = out["n_tokens"].to_numpy(np.int64)
+        out["avg_logprob_micro"] = np.where(
+            n > 0, out["logprob_micro"].to_numpy(np.float64)
+            / np.maximum(n, 1), 0.0)
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas", batch_size=batch_size)
+
+
+def unigram_logprob(ds: rd.Dataset, *, text_col: str = "text",
+                    id_col: str = "doc_id", vocab_size: int = 65536,
+                    num_buckets: int = 16,
+                    batch_size: int = 1024) -> rd.Dataset:
+    """Train-then-score composition (self-scored corpus): the
+    boilerplate/gibberish filter a curation pipeline runs — docs whose
+    average token log-prob is far below the corpus norm are outliers
+    (rare-token soup); far above are repetitive boilerplate.  Two
+    passes over the text (count, score), one O(vocab) shuffle."""
+    vocab, lp, oov, _total = unigram_model(
+        ds, text_col=text_col, vocab_size=vocab_size,
+        num_buckets=num_buckets, batch_size=batch_size)
+    return score_docs_logprob(ds, vocab, lp, oov, text_col=text_col,
+                              id_col=id_col, batch_size=batch_size)

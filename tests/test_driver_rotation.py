@@ -29,7 +29,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "tfidf_top_terms", "rolling_sum_events", "pagerank_orders",
     "editdist_neardup_docs", "sample_weighted_docs", "cube_revenue",
     "entropy_by_user", "cume_dist_docs", "pagerank_orders_smb", "shuffle_docs_epoch",
-    "speaker_budget_clips",
+    "speaker_budget_clips", "unigram_logprob_docs",
 }
 
 
