@@ -1503,6 +1503,34 @@ def dedup_incremental_docs(sf_dir: str):
     return dd.dedup_against_corpus(new, docs)
 
 
+def jaccard_incremental_docs(sf_dir: str):
+    """FUZZY incremental ingest screen (``dedup.jaccard_against_corpus``)
+    — the near-dup counterpart of ``dedup_incremental_docs``, catching
+    what the exact fingerprint anti-join misses: a synthetic re-crawl
+    shard of near-copies (doc_id%7==0, corpus text + a tweaked ' re v2'
+    footer — different fingerprint, Jaccard ~1) and genuinely-new
+    one-word docs (doc_id%7==1, 'zz<id>' — zero shared shingles) is
+    screened against the full documents corpus via the tagged
+    inverted-index join; output = flagged new docs with match count and
+    best Jaccard.  SQL twin: the same shard derivation + two-sided
+    3-gram explode + JOIN ON gram."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shard(b: pd.DataFrame) -> pd.DataFrame:
+        m0 = b["doc_id"] % 7 == 0
+        m1 = b["doc_id"] % 7 == 1
+        return pd.concat([
+            pd.DataFrame({"doc_id": b.loc[m0, "doc_id"] + 100000,
+                          "text": b.loc[m0, "text"] + " re v2"}),
+            pd.DataFrame({"doc_id": b.loc[m1, "doc_id"] + 200000,
+                          "text": "zz" + b.loc[m1, "doc_id"]
+                          .astype(str)}),
+        ], ignore_index=True)
+
+    new = docs.map_batches(shard, batch_format="pandas")
+    return dd.jaccard_against_corpus(new, docs, threshold_milli=500)
+
+
 CHUNK_WINDOW, CHUNK_HOP = 128, 64
 
 
@@ -2370,8 +2398,9 @@ QUERIES = {
     # unigram-LM quality scoring (round-4 late addition) — admitted by
     # rotating r2-green lang_count back out (row stands; pytest-gated)
     "unigram_logprob_docs": unigram_logprob_docs,
-    # displaced-in-r2/r3 entries rotated back through the window
-    "stratified_docs": stratified_docs,
+    # fuzzy incremental ingest screen (round-4 late addition) — admitted
+    # by rotating r2-green stratified_docs back out (row stands)
+    "jaccard_incremental_docs": jaccard_incremental_docs,
     "sample_weighted_docs": sample_weighted_docs,
     "shuffle_docs_epoch": shuffle_docs_epoch,
     "pagerank_orders": pagerank_orders,
@@ -2397,6 +2426,7 @@ QUERIES = {
     # every run)
     "sort_events": sort_events,
     "lang_count": lang_count,
+    "stratified_docs": stratified_docs,
     # ---- gated but past the head-50 this round: all are
     # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
     # keep passing the identical pytest DuckDB gate every run
@@ -3389,6 +3419,39 @@ SELECT user_id,
        SUM(-(n / tot) * ln(n / tot)) AS entropy_nats,
        CAST(COUNT(*) AS BIGINT) AS n_types
 FROM t GROUP BY user_id
+""",
+    # fuzzy incremental ingest screen: near-copy shard vs corpus via
+    # two-sided 3-gram Jaccard (matches dedup.jaccard_against_corpus)
+    "jaccard_incremental_docs": r"""
+WITH newdocs AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' re v2' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, 'zz' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 7 = 1
+),
+cw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+       FROM documents WHERE length(trim(text)) > 0),
+nw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+       FROM newdocs WHERE length(trim(text)) > 0),
+cs AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       FROM cw, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)),
+ns AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       FROM nw, UNNEST(generate_series(1, greatest(len(w)-2, 1))) AS t(i)),
+csz AS (SELECT doc_id, COUNT(*) AS sz FROM cs GROUP BY 1),
+nsz AS (SELECT doc_id, COUNT(*) AS sz FROM ns GROUP BY 1),
+pairs AS (SELECT n.doc_id AS id_n, c.doc_id AS id_c, COUNT(*) AS inter
+          FROM ns n JOIN cs c ON n.g = c.g GROUP BY 1, 2),
+j AS (SELECT id_n,
+             (1000 * inter) // (nz.sz + cz.sz - inter) AS jm
+      FROM pairs
+      JOIN nsz nz ON id_n = nz.doc_id
+      JOIN csz cz ON id_c = cz.doc_id
+      WHERE (1000 * inter) // (nz.sz + cz.sz - inter) >= 500)
+SELECT CAST(id_n AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MAX(jm) AS BIGINT) AS max_jaccard_milli
+FROM j GROUP BY id_n
 """,
     # unigram-LM quality scoring: capped-vocab (64) model trained on
     # the corpus itself (vocab 16 of 31 words -> the OOV floor binds),

@@ -943,6 +943,84 @@ def dedup_against_corpus(new: rd.Dataset, corpus: rd.Dataset, *,
                             num_buckets=num_buckets)
 
 
+def jaccard_against_corpus(new: rd.Dataset, corpus: rd.Dataset, *,
+                           threshold_milli: int = 500, shingle_k: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_buckets: int = 64,
+                           df_cap: int | None = 256) -> rd.Dataset:
+    """Cross-corpus NEAR-dup screen — the fuzzy counterpart of
+    :func:`dedup_against_corpus`: flag every NEW-shard doc whose
+    word-``k``-gram Jaccard vs ANY corpus doc clears the threshold (the
+    re-crawl screen exact fingerprints miss: a page re-crawled with a
+    tweaked footer hashes differently but is ~the same document).
+
+    Same inverted-index machinery as :func:`ngram_jaccard_pairs`, with
+    the self-merge replaced by a new-side x corpus-side merge per
+    shingle bucket (tagged union, ONE shuffle keyed on the shingle
+    hash — text never leaves the explode stage, only (hash, id, side)
+    rows move; ``df_cap`` bounds the per-shingle product exactly as in
+    the self-join, groups whose total df exceeds it are skipped —
+    audit with :func:`ngram_df_stats` over the union).  Output: one row
+    per FLAGGED new doc, ``(doc_id, n_matches, max_jaccard_milli)``;
+    survivors = anti-join the shard against this table."""
+    from .relational import bucketed_groupby
+
+    def tagged(side: int, ds: rd.Dataset) -> rd.Dataset:
+        ex = ds.select_columns([id_col, text_col]).map_batches(
+            _ngram_explode_fn(text_col, id_col, shingle_k),
+            batch_format="pandas", batch_size=1024)
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__side"] = np.int8(side)
+            return b
+
+        return ex.map_batches(tag, batch_format="pandas")
+
+    both = tagged(1, new).union(tagged(0, corpus))
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        if df_cap is not None:
+            # group size == exact global df of the shingle (both sides)
+            g = g[g.groupby("__g", sort=False)["__g"]
+                   .transform("size") <= df_cap]
+        n = g[g["__side"] == 1]
+        c = g[g["__side"] == 0]
+        m = n.merge(c, on="__g", suffixes=("_n", "_c"))
+        return pd.DataFrame({
+            "id_n": m[f"{id_col}_n"].to_numpy(),
+            "id_c": m[f"{id_col}_c"].to_numpy(),
+            "sz_n": m["__sz_n"].to_numpy(),
+            "sz_c": m["__sz_c"].to_numpy()})
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_n", "id_c"], as_index=False, sort=False).agg(
+            inter=("sz_n", "size"), sz_n=("sz_n", "first"),
+            sz_c=("sz_c", "first"))
+        jm = (1000 * agg["inter"].to_numpy(np.int64)) // (
+            agg["sz_n"].to_numpy(np.int64) + agg["sz_c"].to_numpy(np.int64)
+            - agg["inter"].to_numpy(np.int64))
+        out = pd.DataFrame({"id_n": agg["id_n"].astype(np.int64),
+                            "jaccard_milli": jm})
+        return out[out["jaccard_milli"] >= threshold_milli]
+
+    def per_new_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("id_n", as_index=False, sort=False).agg(
+            n_matches=("jaccard_milli", "size"),
+            max_jaccard_milli=("jaccard_milli", "max"))
+        return pd.DataFrame({
+            id_col: agg["id_n"].astype(np.int64),
+            "n_matches": agg["n_matches"].astype(np.int64),
+            "max_jaccard_milli": agg["max_jaccard_milli"]
+            .astype(np.int64)})
+
+    co = bucketed_groupby(both, ["__g"], cooccur, num_buckets=num_buckets)
+    pairs = bucketed_groupby(co, ["id_n", "id_c"], pair_jaccard,
+                             num_buckets=num_buckets)
+    return bucketed_groupby(pairs, ["id_n"], per_new_doc,
+                            num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # exact duplicated-substring spans (Lee et al. 2022, exact-substring half)
 # ---------------------------------------------------------------------------

@@ -243,3 +243,95 @@ def test_dedup_against_corpus_bruteforce_parity():
                                   want[["doc_id", "n_dups"]])
     assert (got["n_dups"] > 1).any()          # within-shard dups exercised
     assert len(got) < len(new_df)             # corpus copies dropped
+
+
+# ---------------------------------------------------------------------------
+# fuzzy incremental ingest screen (jaccard_against_corpus)
+# ---------------------------------------------------------------------------
+
+def _jaccard_bruteforce(new: pd.DataFrame, corpus: pd.DataFrame,
+                        threshold_milli: int) -> pd.DataFrame:
+    from parallel_dataflow_ray.functions.text import word_shingles
+
+    nsets = {r.doc_id: set(word_shingles(r.text or "", 3))
+             for r in new.itertuples()}
+    csets = {r.doc_id: set(word_shingles(r.text or "", 3))
+             for r in corpus.itertuples()}
+    rows = []
+    for nid, ns in nsets.items():
+        if not ns:
+            continue
+        jms = []
+        for cid, cs in csets.items():
+            if not cs:
+                continue
+            inter = len(ns & cs)
+            if inter:
+                jm = (1000 * inter) // (len(ns) + len(cs) - inter)
+                if jm >= threshold_milli:
+                    jms.append(jm)
+        if jms:
+            rows.append((nid, len(jms), max(jms)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_matches",
+                                       "max_jaccard_milli"])
+
+
+def _jc_canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.astype("int64").sort_values("doc_id", ignore_index=True)
+
+
+def test_jaccard_against_corpus_bruteforce_parity():
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(30)]
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "text": [" ".join(rng.choice(vocab, 20)) for _ in range(60)]})
+    # shard: near-copies (footer tweak), exact copies under new ids,
+    # unrelated docs, an empty doc
+    near = corpus.head(15).assign(
+        doc_id=lambda d: d.doc_id + 1000,
+        text=lambda d: d.text + " re v2")
+    exact = corpus.iloc[15:25].assign(doc_id=lambda d: d.doc_id + 2000)
+    fresh = pd.DataFrame({
+        "doc_id": np.arange(3000, 3010),
+        "text": [" ".join(rng.choice([f"z{i}" for i in range(50)], 20))
+                 for _ in range(10)]})
+    empty = pd.DataFrame({"doc_id": [4000], "text": [""]})
+    new = pd.concat([near, exact, fresh, empty], ignore_index=True)
+
+    got = dd.jaccard_against_corpus(
+        rd.from_pandas(new), rd.from_pandas(corpus),
+        threshold_milli=500, num_buckets=8).to_pandas()
+    want = _jaccard_bruteforce(new, corpus, 500)
+    pd.testing.assert_frame_equal(_jc_canon(got), _jc_canon(want))
+    gi = got.set_index("doc_id")
+    # every exact copy flagged at jaccard 1000; near-copies flagged high
+    assert all(gi.loc[i + 2000, "max_jaccard_milli"] == 1000
+               for i in range(15, 25))
+    assert all(gi.loc[i + 1000, "max_jaccard_milli"] >= 800
+               for i in range(15))
+    # unrelated + empty docs absent
+    assert not set(range(3000, 3010)) & set(got["doc_id"])
+    assert 4000 not in set(got["doc_id"])
+
+
+def test_jaccard_against_corpus_df_cap_drops_boilerplate():
+    """A stop-shingle present in every doc is skipped under the cap;
+    pairs whose only overlap is boilerplate disappear (reported pairs
+    remain true pairs)."""
+    boiler = "the same footer text"
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(20),
+        "text": [f"unique{i} alpha{i} beta{i} " + boiler
+                 for i in range(20)]})
+    new = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["fresh words only here " + boiler]})
+    capped = dd.jaccard_against_corpus(
+        rd.from_pandas(new), rd.from_pandas(corpus),
+        threshold_milli=200, num_buckets=4, df_cap=4).to_pandas()
+    assert capped.empty              # boilerplate-only overlap dropped
+    uncapped = dd.jaccard_against_corpus(
+        rd.from_pandas(new), rd.from_pandas(corpus),
+        threshold_milli=200, num_buckets=4, df_cap=None).to_pandas()
+    assert len(uncapped) == 1        # exact join still finds it
