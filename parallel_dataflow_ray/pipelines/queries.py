@@ -1531,6 +1531,32 @@ def jaccard_incremental_docs(sf_dir: str):
     return dd.jaccard_against_corpus(new, docs, threshold_milli=500)
 
 
+def minhash_incremental_docs(sf_dir: str):
+    """The SCALE path of the fuzzy incremental screen
+    (``dedup.minhash_against_corpus``): same synthetic re-crawl shard as
+    ``jaccard_incremental_docs``, but candidates come from MinHash-band
+    collisions (one row per (doc, band) shuffles — content-independent
+    — instead of one per (doc, shingle)), then the pruned pair set is
+    verified with TRUE shingle Jaccard.  Rows-only (LSH recall is
+    probabilistic); flagged⊆exact + planted-near-copy recall asserted
+    in tests/test_dedup_scale.py."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shard(b: pd.DataFrame) -> pd.DataFrame:
+        m0 = b["doc_id"] % 7 == 0
+        m1 = b["doc_id"] % 7 == 1
+        return pd.concat([
+            pd.DataFrame({"doc_id": b.loc[m0, "doc_id"] + 100000,
+                          "text": b.loc[m0, "text"] + " re v2"}),
+            pd.DataFrame({"doc_id": b.loc[m1, "doc_id"] + 200000,
+                          "text": "zz" + b.loc[m1, "doc_id"]
+                          .astype(str)}),
+        ], ignore_index=True)
+
+    new = docs.map_batches(shard, batch_format="pandas")
+    return dd.minhash_against_corpus(new, docs, threshold_milli=500)
+
+
 CHUNK_WINDOW, CHUNK_HOP = 128, 64
 
 
@@ -2466,6 +2492,7 @@ QUERIES = {
     "heavy_bigrams": heavy_bigrams,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
+    "minhash_incremental_docs": minhash_incremental_docs,
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup_embeddings": semdedup_embeddings,
     "stream_audio_energy": stream_audio_energy,

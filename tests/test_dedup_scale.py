@@ -335,3 +335,43 @@ def test_jaccard_against_corpus_df_cap_drops_boilerplate():
         rd.from_pandas(new), rd.from_pandas(corpus),
         threshold_milli=200, num_buckets=4, df_cap=None).to_pandas()
     assert len(uncapped) == 1        # exact join still finds it
+
+
+def test_minhash_against_corpus_subset_of_exact_and_planted_recall():
+    """The LSH scale path: flagged set ⊆ exact inverted-index screen
+    (verification is exact, so no false positives), and every planted
+    high-similarity near-copy is found (collision prob ≈1 at J≈0.9
+    with 16 bands x 4 rows)."""
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(60)]
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(80),
+        "text": [" ".join(rng.choice(vocab, 40)) for _ in range(80)]})
+    near = corpus.head(20).assign(
+        doc_id=lambda d: d.doc_id + 1000,
+        text=lambda d: d.text + " re v2")          # J ~ 0.93
+    fresh = pd.DataFrame({
+        "doc_id": np.arange(3000, 3010),
+        "text": [" ".join(rng.choice([f"q{i}" for i in range(80)], 40))
+                 for _ in range(10)]})
+    new = pd.concat([near, fresh], ignore_index=True)
+
+    got = dd.minhash_against_corpus(
+        rd.from_pandas(new), rd.from_pandas(corpus),
+        threshold_milli=500, num_buckets=8).to_pandas()
+    exact = dd.jaccard_against_corpus(
+        rd.from_pandas(new), rd.from_pandas(corpus),
+        threshold_milli=500, num_buckets=8).to_pandas()
+
+    # no false positives: every flagged doc is exact-flagged, and since
+    # verification is true Jaccard, max values agree on the overlap
+    ge = exact.set_index("doc_id")
+    for r in got.itertuples():
+        assert r.doc_id in ge.index
+        assert r.max_jaccard_milli == ge.loc[r.doc_id,
+                                             "max_jaccard_milli"]
+        assert r.n_matches <= ge.loc[r.doc_id, "n_matches"]
+    # planted near-copies all found
+    assert set(near["doc_id"]) <= set(got["doc_id"])
+    # genuinely-new docs never flagged
+    assert not set(fresh["doc_id"]) & set(got["doc_id"])
