@@ -61,7 +61,7 @@ BATCH_QUERIES = [
     "cube_revenue", "entropy_by_user", "cume_dist_docs",
     "pagerank_orders_smb", "shuffle_docs_epoch",
     "speaker_budget_clips", "unigram_logprob_docs",
-    "jaccard_incremental_docs",
+    "jaccard_incremental_docs", "temperature_mix_docs",
 ]
 
 

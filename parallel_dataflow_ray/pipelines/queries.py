@@ -617,6 +617,41 @@ def sample_weighted_docs(sf_dir: str):
                                           weight_col="n_chars")
 
 
+def temperature_mix_docs(sf_dir: str):
+    """Temperature-based source re-weighting (the mT5/PaLM α-sampling
+    recipe, α=0.5) composed with the deterministic weighted sampler:
+    per-source char totals n_s (one tiny grouped shuffle) give each doc
+    the weight ``max(1, round(n_chars · n_s^(α-1) · 1000))`` — small
+    sources UP-weighted, dominant sources DOWN-weighted so the sampled
+    mix follows p_s ∝ n_s^α — then ``weighted_systematic_sample`` cuts
+    the cumulative line every total//500 units (no RNG; bit-exact vs
+    the window-SUM twin).  The O(#sources) weight table broadcasts in
+    the closure; the corpus shuffles once inside the sampler's prefix
+    scan."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+
+    totals = rel.grouped_sum(
+        ds.map_batches(
+            lambda t: pa.table({"source": t["source"],
+                                "n_chars": t["n_chars"]
+                                .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["source"], ["n_chars"], num_buckets=4).to_pandas()
+    ns = dict(zip(totals["source"], totals["n_chars"].astype(np.int64)))
+
+    def weigh(b: pd.DataFrame) -> pd.DataFrame:
+        n_s = b["source"].map(ns).to_numpy(np.float64)
+        w = np.rint(b["n_chars"].to_numpy(np.float64)
+                    * np.power(n_s, -0.5) * 1000).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "w_milli": np.maximum(w, 1)})
+
+    weighted = ds.map_batches(weigh, batch_format="pandas")
+    return smp.weighted_systematic_sample(weighted, 500, id_col="doc_id",
+                                          weight_col="w_milli")
+
+
 def shuffle_docs_epoch(sf_dir: str):
     """Deterministic training-epoch reshuffle, oracle-gated: every doc
     gets a (shard, pos) from a seed-keyed pseudo-random permutation —
@@ -2427,12 +2462,14 @@ QUERIES = {
     # fuzzy incremental ingest screen (round-4 late addition) — admitted
     # by rotating r2-green stratified_docs back out (row stands)
     "jaccard_incremental_docs": jaccard_incremental_docs,
+    # temperature mixture resampling (round-4 late addition) — admitted
+    # by rotating r2-green bpe_token_stats back out (row stands)
+    "temperature_mix_docs": temperature_mix_docs,
     "sample_weighted_docs": sample_weighted_docs,
     "shuffle_docs_epoch": shuffle_docs_epoch,
     "pagerank_orders": pagerank_orders,
     "pagerank_orders_smb": pagerank_orders_smb,
     "editdist_neardup_docs": editdist_neardup_docs,
-    "bpe_token_stats": bpe_token_stats,
     "moments_lineitem": moments_lineitem,
     "corr_lineitem": corr_lineitem,
     "mode_event_type": mode_event_type,
@@ -2453,6 +2490,7 @@ QUERIES = {
     "sort_events": sort_events,
     "lang_count": lang_count,
     "stratified_docs": stratified_docs,
+    "bpe_token_stats": bpe_token_stats,
     # ---- gated but past the head-50 this round: all are
     # driver-green in CORRECTNESS_r03.json (rows+schema+hash) and
     # keep passing the identical pytest DuckDB gate every run
@@ -3446,6 +3484,30 @@ SELECT user_id,
        SUM(-(n / tot) * ln(n / tot)) AS entropy_nats,
        CAST(COUNT(*) AS BIGINT) AS n_types
 FROM t GROUP BY user_id
+""",
+    # temperature-based source re-weighting + deterministic stride
+    # sample (alpha=0.5; matches temperature_mix_docs bit-for-bit)
+    "temperature_mix_docs": """
+WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents),
+s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS ns
+      FROM d GROUP BY source),
+w AS (SELECT doc_id,
+             GREATEST(1, CAST(ROUND(d.n_chars * POWER(s.ns, -0.5)
+                                    * 1000) AS BIGINT)) AS w_milli
+      FROM d JOIN s USING (source)),
+t AS (SELECT GREATEST(1, SUM(w_milli) // 500) AS stride FROM w),
+c AS (SELECT doc_id, w_milli,
+             COALESCE(SUM(w_milli) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM w)
+SELECT doc_id, w_milli,
+       CAST((cb + w_milli) // (SELECT stride FROM t)
+            - cb // (SELECT stride FROM t) AS BIGINT) AS n_hits
+FROM c
+WHERE (cb + w_milli) // (SELECT stride FROM t)
+      - cb // (SELECT stride FROM t) > 0
 """,
     # fuzzy incremental ingest screen: near-copy shard vs corpus via
     # two-sided 3-gram Jaccard (matches dedup.jaccard_against_corpus)

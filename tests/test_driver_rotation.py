@@ -30,7 +30,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "editdist_neardup_docs", "sample_weighted_docs", "cube_revenue",
     "entropy_by_user", "cume_dist_docs", "pagerank_orders_smb", "shuffle_docs_epoch",
     "speaker_budget_clips", "unigram_logprob_docs",
-    "jaccard_incremental_docs",
+    "jaccard_incremental_docs", "temperature_mix_docs",
 }
 
 

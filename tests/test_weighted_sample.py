@@ -62,3 +62,35 @@ def test_total_hits_and_heavy_row_multiplicity(ray_session):
     assert heavy >= 1000 // stride  # >= floor(w/stride) draws
     total = int(got["n_hits"].sum())
     assert total == int(df["w"].sum()) // stride  # every cut lands once
+
+
+def test_temperature_mix_upweights_small_sources():
+    """alpha=0.5 temperature weights: a source with 1/100 of the chars
+    gets ~sqrt(1/100)=1/10 of the sampled mass — small sources are
+    UP-weighted vs their raw share, large sources down-weighted."""
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.sampling import (
+        weighted_systematic_sample)
+
+    big = pd.DataFrame({"doc_id": np.arange(1000), "source": "big",
+                        "n_chars": 1000})
+    small = pd.DataFrame({"doc_id": np.arange(1000, 1010),
+                          "source": "small", "n_chars": 1000})
+    df = pd.concat([big, small], ignore_index=True)
+    ns = df.groupby("source")["n_chars"].sum().to_dict()
+    df["w_milli"] = np.maximum(np.rint(
+        df["n_chars"] * np.power(df["source"].map(ns).astype(float), -0.5)
+        * 1000).astype(np.int64), 1)
+    out = weighted_systematic_sample(
+        rd.from_pandas(df[["doc_id", "w_milli"]]), 500,
+        id_col="doc_id", weight_col="w_milli").to_pandas()
+    hits = out.merge(df[["doc_id", "source"]], on="doc_id")
+    share = hits.groupby("source")["n_hits"].sum()
+    total = share.sum()
+    raw_small = 10 / 1010                 # raw char share ~1%
+    temp_small = share.get("small", 0) / total
+    # sqrt-temperature share ~ sqrt(10)/(sqrt(1000)+sqrt(10)) ~ 9.1%
+    assert temp_small > 3 * raw_small
+    assert abs(temp_small - 0.091) < 0.03
