@@ -1056,18 +1056,15 @@ def minhash_against_corpus(new: rd.Dataset, corpus: rd.Dataset, *,
     both = banded(1, new).union(banded(0, corpus))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
-            n = sub.loc[sub["__side"] == 1, id_col].drop_duplicates()
-            c = sub.loc[sub["__side"] == 0, id_col].drop_duplicates()
-            if len(n) and len(c):
-                outs.append(pd.DataFrame({
-                    "id_n": np.repeat(n.to_numpy(), len(c)),
-                    "id_c": np.tile(c.to_numpy(), len(n))}))
-        if not outs:
-            return pd.DataFrame({"id_n": pd.Series(dtype="int64"),
-                                 "id_c": pd.Series(dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+        # one vectorized new x corpus merge per bucket task (no Python
+        # loop over (band, hash) groups)
+        cols = ["band_id", "band_hash", id_col]
+        n = g.loc[g["__side"] == 1, cols].drop_duplicates()
+        c = g.loc[g["__side"] == 0, cols].drop_duplicates()
+        m = n.merge(c, on=["band_id", "band_hash"], suffixes=("_n", "_c"))
+        return pd.DataFrame({
+            "id_n": m[f"{id_col}_n"].to_numpy(np.int64),
+            "id_c": m[f"{id_col}_c"].to_numpy(np.int64)})
 
     cands = bucketed_groupby(both, ["band_id", "band_hash"], bucket_pairs,
                              num_buckets=num_buckets)
