@@ -28,7 +28,8 @@ import ray.data as rd
 
 from . import relational as rel
 
-__all__ = ["unigram_model", "score_docs_logprob", "unigram_logprob"]
+__all__ = ["unigram_model", "load_or_train_unigram",
+           "score_docs_logprob", "unigram_logprob"]
 
 
 def _count_tokens_fn(text_col: str):
@@ -70,6 +71,44 @@ def unigram_model(ds: rd.Dataset, *, text_col: str = "text",
         top["n"].to_numpy(np.float64) / float(total)) * 1e6).astype(np.int64)
     oov_lp = int(np.rint(np.log(1.0 / float(total)) * 1e6)) if total else 0
     return pd.Index(top["word"]), lp_micro, oov_lp, total
+
+
+def load_or_train_unigram(ds: rd.Dataset, *, cache_path: str,
+                          text_col: str = "text",
+                          vocab_size: int = 65536, num_buckets: int = 16):
+    """The model trained ONCE per corpus and persisted as a tiny parquet
+    artifact (one (word, lp_micro) row per vocab entry + the OOV floor
+    and total in metadata rows) — repeat scoring jobs (the production
+    shape: model from the trusted corpus, scores over every crawl
+    shard) load instead of re-counting the corpus.  Training is
+    deterministic, so a cache hit is bit-identical to a retrain.  Same
+    artifact discipline as ``similarity.load_or_train_centroids``."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(cache_path):
+        t = pq.read_table(cache_path)
+        words = t["word"].to_pandas()
+        lp = t["lp_micro"].to_numpy()
+        oov = int(t.schema.metadata[b"oov_lp_micro"])
+        total = int(t.schema.metadata[b"total_tokens"])
+        return pd.Index(words), lp.astype(np.int64), oov, total
+
+    vocab, lp, oov, total = unigram_model(
+        ds, text_col=text_col, vocab_size=vocab_size,
+        num_buckets=num_buckets)
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    tmp = f"{cache_path}.tmp.{os.getpid()}"
+    tbl = pa.table({"word": pa.array(list(vocab), type=pa.string()),
+                    "lp_micro": pa.array(lp)})
+    tbl = tbl.replace_schema_metadata(
+        {b"oov_lp_micro": str(oov).encode(),
+         b"total_tokens": str(total).encode()})
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cache_path)     # atomic: concurrent callers race safely
+    return vocab, lp, oov, total
 
 
 def score_docs_logprob(ds: rd.Dataset, vocab: pd.Index,

@@ -116,3 +116,25 @@ def test_model_reuse_scores_new_shard():
     assert got.loc[2, "n_oov"] in (0, 1)        # w01 in-vocab iff top-16
     w00_lp = lp[list(vocab).index("w00")]
     assert got.loc[1, "logprob_micro"] == 2 * w00_lp + oov
+
+
+def test_load_or_train_unigram_cache_roundtrip(tmp_path):
+    df = _corpus()
+    path = str(tmp_path / "model" / "unigram.parquet")
+    v1, lp1, oov1, t1 = __import__(
+        "parallel_dataflow_ray.stages.lm", fromlist=["x"]
+    ).load_or_train_unigram(rd.from_pandas(df), cache_path=path,
+                            vocab_size=16)
+    assert __import__("os").path.exists(path)
+    # poison-proof: a cache hit must not re-read the corpus
+    v2, lp2, oov2, t2 = __import__(
+        "parallel_dataflow_ray.stages.lm", fromlist=["x"]
+    ).load_or_train_unigram(rd.from_pandas(df.head(1)), cache_path=path,
+                            vocab_size=16)
+    assert list(v1) == list(v2)
+    np.testing.assert_array_equal(lp1, lp2)
+    assert (oov1, t1) == (oov2, t2)
+    # scoring through the loaded model == scoring through the trained one
+    a = score_docs_logprob(rd.from_pandas(df), v1, lp1, oov1).to_pandas()
+    b = score_docs_logprob(rd.from_pandas(df), v2, lp2, oov2).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
