@@ -62,6 +62,7 @@ BATCH_QUERIES = [
     "pagerank_orders_smb", "shuffle_docs_epoch",
     "speaker_budget_clips", "unigram_logprob_docs",
     "jaccard_incremental_docs", "temperature_mix_docs",
+    "minhash_incremental_docs",
 ]
 
 
