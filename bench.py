@@ -63,6 +63,8 @@ BATCH_QUERIES = [
     "speaker_budget_clips", "unigram_logprob_docs",
     "jaccard_incremental_docs", "temperature_mix_docs",
     "minhash_incremental_docs",
+    "quantiles_cont_lineitem", "skew_kurt_lineitem",
+    "intersect_customers", "except_customers", "unpivot_event_counts",
 ]
 
 

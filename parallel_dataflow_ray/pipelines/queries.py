@@ -1864,6 +1864,88 @@ def mode_event_type(sf_dir: str):
                             num_buckets=16)
 
 
+def quantiles_cont_lineitem(sf_dir: str):
+    """INTERPOLATED grouped quantiles (``percentile_cont`` semantics —
+    DuckDB's ``(CRN-RN)*v[FRN] + (RN-FRN)*v[CRN]`` interpolator) over
+    quantized extended price: the same histogram-partial shuffle as
+    quantiles_lineitem, both bounding ranks read off the merged value
+    histogram (the sorted multiset is never materialized)."""
+    from ..stages.sketches import grouped_quantiles_cont
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice"])
+    ds = ds.map_batches(_cents_col("l_extendedprice", "price_cents"),
+                        batch_format="pyarrow", batch_size=65536) \
+           .select_columns(["l_returnflag", "l_linestatus", "price_cents"])
+    return grouped_quantiles_cont(
+        ds, ["l_returnflag", "l_linestatus"], "price_cents",
+        [0.25, 0.5, 0.75], ["p25c", "p50c", "p75c"], count_as="n_rows")
+
+
+def skew_kurt_lineitem(sf_dir: str):
+    """Grouped third/fourth-moment aggregate (SKEWNESS / KURTOSIS,
+    DuckDB's bias-corrected sample forms) over lineitem quantities:
+    map-side (n, mean, M2, M3, M4) central-moment partials + Pébay's
+    pairwise merge in a canonical fold order (see
+    ``relational.grouped_hmoments``).  Only O(groups x blocks) 6-column
+    partial rows shuffle."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity"])
+    return rel.grouped_hmoments(ds, ["l_returnflag"], "l_quantity",
+                                num_buckets=8)
+
+
+def intersect_customers(sf_dir: str):
+    """SQL INTERSECT on distinct keys: customers with an urgent order
+    AND an order over 300k.  Per-batch distinct (key, presence-bit)
+    partials — one row per distinct key per block crosses the shuffle,
+    never the orders — then a bucketed max + filter
+    (``relational.distinct_set_op``); both reads push their row
+    filter into the parquet scan."""
+    a = read_table(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"],
+                   filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    b = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                   filter=(pc.field("o_totalprice") > 300000.0))
+    return rel.distinct_set_op(a.select_columns(["o_custkey"]),
+                               b.select_columns(["o_custkey"]),
+                               "o_custkey", "intersect")
+
+
+def except_customers(sf_dir: str):
+    """SQL EXCEPT on distinct keys: customers with an urgent order but
+    NO order over 300k — same presence-bit partial shuffle as
+    intersect_customers with the complementary filter."""
+    a = read_table(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"],
+                   filter=(pc.field("o_orderpriority") == "1-URGENT"))
+    b = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                   filter=(pc.field("o_totalprice") > 300000.0))
+    return rel.distinct_set_op(a.select_columns(["o_custkey"]),
+                               b.select_columns(["o_custkey"]),
+                               "o_custkey", "except")
+
+
+def unpivot_event_counts(sf_dir: str):
+    """UNPIVOT / melt: the wide per-user event-count table back to long
+    (user_id, event_type, n) form — a MAP-ONLY stage over the pivot
+    output (wide -> 5 rows per input row, zero-count cells kept: a true
+    unpivot, not a re-aggregation).  The twin unpivots the same wide
+    CTE via UNION ALL."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_event_counts(sf_dir)
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.melt(id_vars=["user_id"],
+                     value_vars=[f"n_{t}" for t in types],
+                     var_name="event_type", value_name="n")
+        out["event_type"] = out["event_type"].str.slice(2)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return wide.map_batches(melt, batch_format="pandas", batch_size=65536)
+
+
 def tfidf_top_terms(sf_dir: str):
     """Corpus TF-IDF term weighting: top-3 terms per source by
     tf x ln(N/df).  Two explode passes over the text (tf per
@@ -2440,16 +2522,19 @@ QUERIES = {
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
     "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
-    "topk_users_hourly": topk_users_hourly,
     "decontaminate_docs": decontaminate_docs,
     "dedup_incremental_docs": dedup_incremental_docs,
-    "chunk_docs": chunk_docs,
-    "source_mixture": source_mixture,
     "pack_token_shards": pack_token_shards,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
-    "knn_topk": knn_topk,
-    "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
+    # round-4 final-session additions — admitted by rotating r3-green
+    # topk_users_hourly / chunk_docs / source_mixture / knn_topk /
+    # embedding_neardup past the head-50 (rows stand; pytest-gated)
+    "quantiles_cont_lineitem": quantiles_cont_lineitem,
+    "skew_kurt_lineitem": skew_kurt_lineitem,
+    "intersect_customers": intersect_customers,
+    "except_customers": except_customers,
+    "unpivot_event_counts": unpivot_event_counts,
     # round-4 additions (declared in tests/test_driver_rotation.py
     # PENDING_FIRST_DRIVER_WINDOW until their first recorded sweep)
     "gopher_quality_docs": gopher_quality_docs,
@@ -2497,6 +2582,11 @@ QUERIES = {
     "filter_high_value": filter_high_value,
     "broadcast_region_count": broadcast_region_count,
     "session_events": session_events,
+    "topk_users_hourly": topk_users_hourly,
+    "chunk_docs": chunk_docs,
+    "source_mixture": source_mixture,
+    "knn_topk": knn_topk,
+    "embedding_neardup": embedding_neardup,
     "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "funnel_events": funnel_events,
     "stream_funnel_events": stream_funnel_events,
@@ -3702,6 +3792,49 @@ SELECT l_returnflag,
        VAR_SAMP(l_quantity) AS var_samp,
        STDDEV_SAMP(l_quantity) AS std_samp
 FROM lineitem GROUP BY l_returnflag
+""",
+    "skew_kurt_lineitem": """
+SELECT l_returnflag,
+       COUNT(l_quantity) AS n,
+       SKEWNESS(l_quantity) AS skew_samp,
+       KURTOSIS(l_quantity) AS kurt_samp
+FROM lineitem GROUP BY l_returnflag
+""",
+    "quantiles_cont_lineitem": """
+WITH l AS (SELECT l_returnflag, l_linestatus,
+                  CAST(ROUND(l_extendedprice*100) AS BIGINT) AS vc
+           FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+  percentile_cont(0.25) WITHIN GROUP (ORDER BY vc) AS p25c,
+  percentile_cont(0.5)  WITHIN GROUP (ORDER BY vc) AS p50c,
+  percentile_cont(0.75) WITHIN GROUP (ORDER BY vc) AS p75c,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM l GROUP BY 1, 2
+""",
+    "intersect_customers": """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+    "except_customers": """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+    "unpivot_event_counts": """
+WITH wide AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+  FROM events GROUP BY 1)
+SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+UNION ALL SELECT user_id, 'error', n_error FROM wide
+UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+UNION ALL SELECT user_id, 'view', n_view FROM wide
 """,
     # rows-only (non-SQL-expressible): fingerprint_docs (SipHash keyed
     # hash has no DuckDB twin), minhash_neardup, simhash_neardup

@@ -240,6 +240,123 @@ def grouped_corr(ds: rd.Dataset, keys: list[str], x: str, y: str,
     return bucketed_groupby(partials, keys, final, num_buckets)
 
 
+def grouped_hmoments(ds: rd.Dataset, keys: list[str], col: str,
+                     num_buckets: int = 64) -> rd.Dataset:
+    """Distributed third/fourth-moment aggregate -> ``(keys..., n,
+    skew_samp, kurt_samp)`` with SQL ``skewness()`` / ``kurtosis()``
+    semantics (bias-corrected sample skewness; sample EXCESS kurtosis —
+    the Excel/DuckDB forms, verified empirically against DuckDB).
+
+    Map side: per-batch ``(n, mean, M2, M3, M4)`` central-moment
+    partials (vectorized deviation-power sums per group).  Final:
+    Pébay's (2008) pairwise central-moment merge — the M3/M4 extension
+    of the Chan update :func:`grouped_moments` uses — folded in a
+    canonical sorted order so the float result is partition-invariant.
+    Only O(groups x blocks) 6-column partial rows cross the shuffle."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        gb = b.groupby(keys, sort=False)
+        agg = gb[col].agg(["count", "mean"]).reset_index()
+        agg.columns = list(keys) + ["__n", "__mean"]
+        d = b[col] - gb[col].transform("mean")
+        gkeys = [b[k] for k in keys]
+        d2 = d * d
+        agg["__m2"] = d2.groupby(gkeys, sort=False).sum().to_numpy()
+        agg["__m3"] = (d2 * d).groupby(gkeys, sort=False).sum().to_numpy()
+        agg["__m4"] = (d2 * d2).groupby(gkeys, sort=False).sum().to_numpy()
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            sub = sub.sort_values(["__n", "__mean", "__m2", "__m3"],
+                                  kind="mergesort")
+            n, mean, m2, m3, m4 = 0, 0.0, 0.0, 0.0, 0.0
+            for nn, mm, pm2, pm3, pm4 in zip(
+                    sub["__n"].to_numpy(), sub["__mean"].to_numpy(),
+                    sub["__m2"].to_numpy(), sub["__m3"].to_numpy(),
+                    sub["__m4"].to_numpy()):
+                if nn == 0:
+                    continue
+                tot = n + nn
+                delta = mm - mean
+                d_n = delta / tot
+                w = n * nn * d_n                      # delta * nA*nB/tot
+                m4 += (pm4 + w * d_n * d_n * delta
+                       * (n * n - n * nn + nn * nn)
+                       + 6.0 * d_n * d_n * (n * n * pm2 + nn * nn * m2)
+                       + 4.0 * d_n * (n * pm3 - nn * m3))
+                m3 += (pm3 + w * d_n * delta * (n - nn)
+                       + 3.0 * d_n * (n * pm2 - nn * m2))
+                m2 += pm2 + w * delta
+                mean += d_n * nn
+                n = tot
+            # DuckDB/Excel bias-corrected forms over the merged central
+            # moments (s = sample std): skew = n/((n-1)(n-2)) * M3/s^3;
+            # kurt = n(n+1)/((n-1)(n-2)(n-3)) * M4/s^4 - 3(n-1)^2/((n-2)(n-3))
+            if n > 2 and m2 > 0.0:
+                s = math.sqrt(m2 / (n - 1))
+                skew = n / ((n - 1) * (n - 2)) * (m3 / s ** 3)
+            else:
+                skew = float("nan")
+            if n > 3 and m2 > 0.0:
+                s = math.sqrt(m2 / (n - 1))
+                kurt = (n * (n + 1) / ((n - 1) * (n - 2) * (n - 3))
+                        * (m4 / s ** 4)
+                        - 3.0 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
+            else:
+                kurt = float("nan")
+            kv = list(kv) if isinstance(kv, tuple) else [kv]
+            rows.append(kv + [n, skew, kurt])
+        out = pd.DataFrame(rows, columns=list(keys)
+                           + ["n", "skew_samp", "kurt_samp"])
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+    return bucketed_groupby(partials, keys, final, num_buckets)
+
+
+def distinct_set_op(left: rd.Dataset, right: rd.Dataset, key: str,
+                    op: str, num_buckets: int = 16) -> rd.Dataset:
+    """Distributed SQL set operation on DISTINCT keys: ``intersect``
+    (key present on both sides) or ``except`` (present left, absent
+    right).
+
+    Shape: tag each side with an indicator pair, union, collapse each
+    batch to distinct ``(key, max_l, max_r)`` partials (the shuffle
+    moves one row per distinct key per block, never the inputs), then
+    one bucketed final max + filter.  The same plumbing as
+    ``grouped_sum`` — a set op IS a grouped max over presence bits."""
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+
+    def tag(is_left: bool):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[[key]].drop_duplicates().copy()
+            out["__l"] = np.int64(1 if is_left else 0)
+            out["__r"] = np.int64(0 if is_left else 1)
+            return out
+        return fn
+
+    both = (left.map_batches(tag(True), batch_format="pandas",
+                             batch_size=65536)
+            .union(right.map_batches(tag(False), batch_format="pandas",
+                                     batch_size=65536)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(key, as_index=False)[["__l", "__r"]].max()
+        if op == "intersect":
+            m = m[(m["__l"] == 1) & (m["__r"] == 1)]
+        else:
+            m = m[(m["__l"] == 1) & (m["__r"] == 0)]
+        return m[[key]]
+
+    return bucketed_groupby(both, [key], final, num_buckets)
+
+
 def grouped_mode(ds: rd.Dataset, keys: list[str], col: str,
                  count_name: str = "n_mode",
                  num_buckets: int = 64) -> rd.Dataset:

@@ -79,6 +79,61 @@ def grouped_quantiles(ds: rd.Dataset, keys: list[str], val_col: str,
     return bucketed_groupby(partial, keys, final, num_buckets)
 
 
+def grouped_quantiles_cont(ds: rd.Dataset, keys: list[str], val_col: str,
+                           qs: list[float], out_names: list[str],
+                           count_as: str | None = None,
+                           num_buckets: int = 64) -> rd.Dataset:
+    """Per-group INTERPOLATED quantiles (``percentile_cont`` semantics)
+    of an int64 column, same histogram-partial shuffle as
+    :func:`grouped_quantiles`.
+
+    Read-off follows DuckDB's interpolator exactly: the target position
+    is ``RN = q * (n - 1)`` over the 0-indexed sorted multiset; with
+    ``FRN = floor(RN)`` / ``CRN = ceil(RN)`` the result is
+    ``(CRN - RN) * v[FRN] + (RN - FRN) * v[CRN]`` (collapsing to
+    ``v[FRN]`` when the position is integral).  Both ranks are read off
+    the merged value histogram with one searchsorted each — the sorted
+    multiset is never materialized.  Same IEEE double arithmetic on
+    both sides keeps the twin bit-compatible."""
+    import math
+
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(keys + [val_col], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "__n"})
+
+    partial = ds.map_batches(local_counts, batch_format="pandas",
+                             batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in g.groupby(keys, sort=False):
+            vc = sub.groupby(val_col, sort=True)["__n"].sum()
+            vals = vc.index.to_numpy()
+            cum = vc.to_numpy().cumsum()
+            n = int(cum[-1])
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            row = dict(zip(keys, kv))
+            for q, name in zip(qs, out_names):
+                rn = q * (n - 1)
+                frn, crn = math.floor(rn), math.ceil(rn)
+                # value at 0-based rank r = first histogram value whose
+                # cumulative count exceeds r
+                vl = float(vals[np.searchsorted(cum, frn + 1, side="left")])
+                if crn == frn:
+                    row[name] = vl
+                else:
+                    vu = float(vals[np.searchsorted(cum, crn + 1,
+                                                    side="left")])
+                    row[name] = (crn - rn) * vl + (rn - frn) * vu
+            if count_as:
+                row[count_as] = n
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return bucketed_groupby(partial, keys, final, num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog approximate distinct
 # ---------------------------------------------------------------------------

@@ -31,6 +31,8 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "entropy_by_user", "cume_dist_docs", "pagerank_orders_smb", "shuffle_docs_epoch",
     "speaker_budget_clips", "unigram_logprob_docs",
     "jaccard_incremental_docs", "temperature_mix_docs",
+    "quantiles_cont_lineitem", "skew_kurt_lineitem", "intersect_customers",
+    "except_customers", "unpivot_event_counts",
 }
 
 
