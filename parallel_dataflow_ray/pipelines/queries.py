@@ -2071,6 +2071,49 @@ def rolling_sum_events(sf_dir: str):
     return rel.bucketed_groupby(ds, ["user_id"], per_user)
 
 
+def events_range_scan(sf_dir: str):
+    """Zone-map-pruned window scan over a RANGE-partitioned persisted
+    layout (``stages/bucketed_io.py::write_range_partitioned``): events
+    land as one parquet file per ts range ONCE, then the middle-quarter
+    window ``[mn + 3(mx-mn)/8, mn + 5(mx-mn)/8)`` is read through the
+    manifest zone map — only overlapping files open (file-level
+    predicate pushdown; at 100 TB the window scan reads ~1/4 of the
+    files instead of the whole table), rows exactly re-filtered, then
+    a partial+final grouped sum.  Same result as a full-scan filter —
+    the layout changes the I/O plan, not one bit of the answer (the
+    oracle twin is the plain filtered aggregate)."""
+    import shutil
+    import tempfile
+
+    from ..stages.bucketed_io import (read_range_pruned,
+                                      write_range_partitioned)
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type",
+                                               "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vu = np.rint(t["value"].to_numpy() * 1e6).astype(np.int64)
+        return pa.table({"eu": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"],
+                         "value_micro": pa.array(vu)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    layout = tempfile.mkdtemp(prefix="events_range_", dir="/tmp")
+    try:
+        man = write_range_partitioned(ds, layout, "eu",
+                                      num_partitions=16)
+        mn, mx = int(man["min"].min()), int(man["max"].max())
+        lo = mn + (mx - mn) * 3 // 8
+        hi = mn + (mx - mn) * 5 // 8
+        win, _stats = read_range_pruned(layout, lo=lo, hi=hi)
+        out = rel.grouped_sum(win, ["event_type"], ["value_micro"],
+                              count_as="n_events", num_buckets=4)
+        res = out.materialize()
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+    return res
+
+
 def transcode_clips_q(sf_dir: str):
     """Codec transcoding audit (rows-only; exact 2x size law for pcm16
     sources, requant SNR >= 25 dB laws, audit==recomputed-SNR parity in
@@ -2526,7 +2569,6 @@ QUERIES = {
     "dedup_incremental_docs": dedup_incremental_docs,
     "pack_token_shards": pack_token_shards,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
-    "neardup_clusters": neardup_clusters,
     # round-4 final-session additions — admitted by rotating r3-green
     # topk_users_hourly / chunk_docs / source_mixture / knn_topk /
     # embedding_neardup past the head-50 (rows stand; pytest-gated)
@@ -2535,6 +2577,7 @@ QUERIES = {
     "intersect_customers": intersect_customers,
     "except_customers": except_customers,
     "unpivot_event_counts": unpivot_event_counts,
+    "events_range_scan": events_range_scan,
     # round-4 additions (declared in tests/test_driver_rotation.py
     # PENDING_FIRST_DRIVER_WINDOW until their first recorded sweep)
     "gopher_quality_docs": gopher_quality_docs,
@@ -2587,6 +2630,7 @@ QUERIES = {
     "source_mixture": source_mixture,
     "knn_topk": knn_topk,
     "embedding_neardup": embedding_neardup,
+    "neardup_clusters": neardup_clusters,
     "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "funnel_events": funnel_events,
     "stream_funnel_events": stream_funnel_events,
@@ -3820,6 +3864,19 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 EXCEPT
 SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+    "events_range_scan": """
+WITH e AS (SELECT epoch_us(ts) AS eu, event_type,
+                  CAST(ROUND(value*1000000) AS BIGINT) AS value_micro
+           FROM events),
+     b AS (SELECT MIN(eu) AS mn, MAX(eu) AS mx FROM e)
+SELECT event_type,
+       CAST(SUM(value_micro) AS BIGINT) AS value_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e, b
+WHERE eu >= mn + (mx - mn) * 3 // 8
+  AND eu <  mn + (mx - mn) * 5 // 8
+GROUP BY event_type
 """,
     "unpivot_event_counts": """
 WITH wide AS (

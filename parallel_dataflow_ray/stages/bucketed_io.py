@@ -168,3 +168,104 @@ def smb_probe_join(probe: rd.Dataset, root: str, *, probe_on: str,
     return (probe.map_batches(tag, batch_format="pandas")
                  .groupby("__bucket")
                  .map_groups(join_bucket, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# range-partitioned layout + zone-map pruned reads
+# ---------------------------------------------------------------------------
+
+
+def write_range_partitioned(ds: rd.Dataset, root: str, key: str, *,
+                            num_partitions: int = 32) -> pd.DataFrame:
+    """Persist ``ds`` as one parquet file per KEY RANGE (int64 key) with
+    a zone-map manifest — the layout a time-windowed scan wants.
+
+    Nominal ranges are equal-width over the observed [min, max] (one
+    cheap min/max pass picks them; skew cannot break correctness
+    because pruning consults the MANIFEST's actual per-file min/max,
+    never the nominal cuts).  One shuffle writes the layout —
+    tmp+atomic-rename per partition, so a partial run re-runs
+    idempotently; a later :func:`read_range_pruned` on a window then
+    reads ONLY the overlapping files instead of scanning the table
+    (file-level predicate pushdown, the same zone-map idea parquet
+    row-group stats serve inside a file).  Returns the manifest frame
+    (partition, rows, min, max), also persisted as ``_manifest.json``
+    (tiny: O(partitions))."""
+    os.makedirs(root, exist_ok=True)
+    sch = ds.schema()
+    schema = pa.schema([(n, t if isinstance(t, pa.DataType)
+                         else pa.from_numpy_dtype(np.dtype(t)))
+                        for n, t in zip(sch.names, sch.types)])
+    pq.write_table(schema.empty_table(),
+                   os.path.join(root, "_schema.parquet"))
+
+    from ray.data.aggregate import Max, Min
+    mm = ds.aggregate(Min(key), Max(key))
+    lo, hi = int(mm[f"min({key})"]), int(mm[f"max({key})"])
+    span = max(hi - lo + 1, 1)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        v = b[key].to_numpy().astype(np.int64)
+        p = (v - lo).astype(np.float64) * (num_partitions / span)
+        b["__part"] = np.clip(p.astype(np.int64), 0, num_partitions - 1)
+        return b
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["__part"].iloc[0])
+        body = g.drop(columns="__part").sort_values(key,
+                                                    kind="mergesort")
+        path = os.path.join(root, f"part={pid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(body, schema=schema,
+                                            preserve_index=False), tmp)
+        os.rename(tmp, path)
+        return pd.DataFrame({"partition": [pid], "rows": [len(body)],
+                             "min": [int(body[key].iloc[0])],
+                             "max": [int(body[key].iloc[-1])]})
+
+    manifest = (ds.map_batches(tag, batch_format="pandas")
+                  .groupby("__part")
+                  .map_groups(write_part, batch_format="pandas")
+                  .to_pandas().sort_values("partition",
+                                           ignore_index=True))
+    with open(os.path.join(root, "_manifest.json"), "w") as f:
+        json.dump({"key": key, "num_partitions": num_partitions,
+                   "zones": manifest.to_dict(orient="records")}, f)
+    return manifest
+
+
+def read_range_pruned(root: str, *, lo: int | None = None,
+                      hi: int | None = None,
+                      columns: list[str] | None = None
+                      ) -> tuple[rd.Dataset, dict]:
+    """Read a range-partitioned layout for the window ``[lo, hi)``,
+    opening ONLY the files whose zone overlaps (manifest min/max — the
+    file-level analog of row-group stats).  Returns ``(dataset,
+    stats)`` where stats reports files_read / files_total (no silent
+    pruning: the read amplification is part of the result).  Rows are
+    still exactly filtered (zones bound files, not rows)."""
+    with open(os.path.join(root, "_manifest.json")) as f:
+        m = json.load(f)
+    key = m["key"]
+    zones = m["zones"]
+    keep = [z for z in zones
+            if (hi is None or z["min"] < hi)
+            and (lo is None or z["max"] >= lo)]
+    stats = {"files_total": len(zones), "files_read": len(keep),
+             "rows_in_files": int(sum(z["rows"] for z in keep))}
+    if not keep:
+        empty = pq.read_table(os.path.join(root, "_schema.parquet"),
+                              columns=columns)
+        return rd.from_arrow(empty), stats
+    import pyarrow.compute as _pc
+    flt = None
+    if lo is not None:
+        flt = _pc.field(key) >= lo
+    if hi is not None:
+        f2 = _pc.field(key) < hi
+        flt = f2 if flt is None else (flt & f2)
+    files = [os.path.join(root, f"part={z['partition']:05d}.parquet")
+             for z in keep]
+    ds = rd.read_parquet(files, columns=columns, filter=flt)
+    return ds, stats
