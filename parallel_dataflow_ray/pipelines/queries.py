@@ -1218,6 +1218,26 @@ def stream_vocab_clips(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def stream_sample_clips(sf_dir: str):
+    """Streaming bottom-k window sample + KMV distinct estimate
+    (rows-only): per (speaker, window), the k clips with the smallest
+    stable id hash — a deterministic uniform sample whose membership is
+    a pure function of the ids (replay/partition invariant by
+    construction) — plus the (k-1)/h_(k) distinct-count read-off.
+    Oracle parity across in-order/ooo/partitions and the window matrix
+    are pytest-gated (test_streaming_differential sweeps KERNELS)."""
+    from ..streaming.kernels import SampleKMV
+    table = clips_table(400, seed=42, lateness_ms=40, n_speakers=7)
+    epochs = epochs_from_table(table, 97)
+    eng = StreamEngine("window",
+                       {"spec": SampleKMV(),
+                        "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
 def user_event_sequences(sf_dir: str):
     """Grouped sequence building (collect/string_agg): each user's
     time-ordered event-type path — the session-sequence shape a
@@ -2672,6 +2692,7 @@ QUERIES = {
     "stream_dedup_clips": stream_dedup_clips,
     "stream_content_dedup_clips": stream_content_dedup_clips,
     "stream_vocab_clips": stream_vocab_clips,
+    "stream_sample_clips": stream_sample_clips,
     "audio_features": audio_features_q,
     "fingerprint_docs": fingerprint_docs,
     "minhash_neardup": minhash_neardup,

@@ -828,10 +828,68 @@ class VocabSketch(StreamOpSpec):
                 "vocab_est": int(round(est))}
 
 
+class SampleKMV(StreamOpSpec):
+    """Per-(speaker, window) deterministic bottom-k sample + KMV
+    distinct estimate: keep the k rows whose stable clip_id hash is
+    smallest.
+
+    One kernel, two products: (a) a uniform-without-replacement window
+    SAMPLE whose membership is a pure function of the ids — the
+    streaming twin of ``stages/sampling.py``'s hash-threshold sampler —
+    and (b) the k-minimum-values distinct-count estimate
+    ``(k-1) / h_(k)`` (Bar-Yossef et al. 2002) read off the same state.
+    The meet (set-union then keep the k smallest (hash, id) pairs) is
+    commutative, associative and IDEMPOTENT — a replayed row re-inserts
+    the identical pair — so, like ``VocabSketch``, the full
+    differential/replay matrix applies verbatim.  O(k) state per
+    (key, window) regardless of arrival count."""
+
+    name = "sample_kmv"
+    key_column = "speaker_id"
+    value_columns = ("clip_id",)
+    K = 8
+
+    def initial_state(self) -> list:
+        return []                      # sorted [(hash, clip_id), ...]
+
+    def merge(self, a: list, b: list) -> list:
+        return sorted(set(a) | set(b))[:self.K]
+
+    def update(self, state: list, rows: list[dict]) -> list:
+        return self._ingest(state, [r["clip_id"] for r in rows])
+
+    def update_table(self, state: list, t) -> list:
+        return self._ingest(state, t["clip_id"].to_pylist())
+
+    def _ingest(self, state: list, ids: list[str]) -> list:
+        if not ids:
+            return state
+        from ..functions.hashing import _stable_token_hashes
+
+        h = _stable_token_hashes(ids)
+        cand = set(state)
+        cand.update(zip((int(x) for x in h), ids))
+        return sorted(cand)[:self.K]
+
+    def finish(self, key, window, state: list) -> dict | None:
+        if not state:
+            return None
+        if len(state) < self.K:
+            est = len(state)           # saw fewer than k distinct: exact
+        else:
+            hk = state[-1][0]          # k-th smallest normalized hash
+            est = (int(round((self.K - 1) * float(1 << 64) / hk))
+                   if hk else self.K)
+        return {self.key_column: key, **_fmt_window(window),
+                "sample_ids": ",".join(i for _, i in state),
+                "kmv_est": est}
+
+
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ContentDedup, ReverseLiveWords,
      MetaConstants,
      CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
-     CodecKleene, TopWords, QuantileHist, ClipProfile, VocabSketch)
+     CodecKleene, TopWords, QuantileHist, ClipProfile, VocabSketch,
+     SampleKMV)
 }
