@@ -2091,6 +2091,30 @@ def rolling_sum_events(sf_dir: str):
     return rel.bucketed_groupby(ds, ["user_id"], per_user)
 
 
+def latest_event_per_user(sf_dir: str):
+    """Latest-row-per-key extraction (SQL arg_max / DISTINCT ON): each
+    user's most recent event, whole row, deterministic tie-break on
+    event_id.  Per-batch top-1 partials -> one bucketed merge — only
+    O(users x blocks) rows shuffle (``relational.grouped_argmax``);
+    the "current state per entity" query a CDC store answers
+    continuously."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type",
+                                               "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"],
+                         "value_cents": pa.array(vc)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return rel.grouped_argmax(ds, ["user_id"], ["ts_us", "event_id"],
+                              num_buckets=16)
+
+
 def events_range_scan(sf_dir: str):
     """Zone-map-pruned window scan over a RANGE-partitioned persisted
     layout (``stages/bucketed_io.py::write_range_partitioned``): events
@@ -2587,7 +2611,6 @@ QUERIES = {
     "curate_neardup_docs": curate_neardup_docs,
     "decontaminate_docs": decontaminate_docs,
     "dedup_incremental_docs": dedup_incremental_docs,
-    "pack_token_shards": pack_token_shards,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     # round-4 final-session additions — admitted by rotating r3-green
     # topk_users_hourly / chunk_docs / source_mixture / knn_topk /
@@ -2598,6 +2621,7 @@ QUERIES = {
     "except_customers": except_customers,
     "unpivot_event_counts": unpivot_event_counts,
     "events_range_scan": events_range_scan,
+    "latest_event_per_user": latest_event_per_user,
     # round-4 additions (declared in tests/test_driver_rotation.py
     # PENDING_FIRST_DRIVER_WINDOW until their first recorded sweep)
     "gopher_quality_docs": gopher_quality_docs,
@@ -2651,6 +2675,7 @@ QUERIES = {
     "knn_topk": knn_topk,
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
+    "pack_token_shards": pack_token_shards,
     "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "funnel_events": funnel_events,
     "stream_funnel_events": stream_funnel_events,
@@ -3885,6 +3910,16 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 EXCEPT
 SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+    "latest_event_per_user": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC)
+                      AS rn
+           FROM events)
+SELECT event_id, user_id, ts_us, event_type, value_cents
+FROM e WHERE rn = 1
 """,
     "events_range_scan": """
 WITH e AS (SELECT epoch_us(ts) AS eu, event_type,

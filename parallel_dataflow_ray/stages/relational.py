@@ -381,6 +381,30 @@ def grouped_mode(ds: rd.Dataset, keys: list[str], col: str,
     return bucketed_groupby(counts, list(keys), pick, num_buckets)
 
 
+def grouped_argmax(ds: rd.Dataset, keys: list[str], order: list[str],
+                   num_buckets: int = 64) -> rd.Dataset:
+    """Latest-row-per-key (SQL ``arg_max`` / ``DISTINCT ON`` / top-1
+    window): the whole row that maximizes ``order`` (lexicographic,
+    ties impossible when the last order column is unique — pass the
+    row id last to make the pick deterministic).
+
+    Map side: each batch reduces to ONE candidate row per key (sort +
+    drop_duplicates — the max is a semilattice meet, so per-batch
+    winners merge exactly); final: the same pick over the merged
+    candidates.  Only O(keys x blocks) full-width rows shuffle, never
+    the table — the classic "current state per entity" extraction a
+    CDC / sessionized store runs continuously."""
+    asc = [True] * len(keys) + [False] * len(order)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(keys + order, ascending=asc, kind="mergesort")
+        return b.drop_duplicates(keys)
+
+    partial = ds.map_batches(pick, batch_format="pandas",
+                             batch_size=65536)
+    return bucketed_groupby(partial, keys, pick, num_buckets)
+
+
 def broadcast_lookup(ds: rd.Dataset, lookup_df: pd.DataFrame, on: str,
                      add_columns: list[str],
                      project: list[str] | None = None) -> rd.Dataset:
