@@ -65,7 +65,7 @@ BATCH_QUERIES = [
     "minhash_incremental_docs",
     "quantiles_cont_lineitem", "skew_kurt_lineitem",
     "intersect_customers", "except_customers", "unpivot_event_counts",
-    "events_range_scan", "latest_event_per_user",
+    "events_range_scan", "latest_event_per_user", "wer_adjacent_docs",
 ]
 
 

@@ -794,6 +794,21 @@ def editdist_neardup_docs(sf_dir: str):
     return edit_distance_pairs(docs, prefix_chars=64, max_dist=4)
 
 
+def wer_adjacent_docs(sf_dir: str):
+    """WORD-level edit distance (WER numerator) between each doc and
+    its successor — the transcript-revision QA comparison,
+    token-exact over the first 64 tokens (rows-only: DuckDB
+    ``levenshtein`` is byte-level, so no SQL twin exists for token
+    alphabets; brute-force python-DP parity is asserted in
+    tests/test_editdist.py).  One successor bucket join ships only
+    (id, source, truncated tokens); the DP is vectorized across pairs
+    over per-batch-factorized token ids (``stages/editdist.py``)."""
+    from ..stages.editdist import token_distance_adjacent
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_distance_adjacent(docs, max_tokens=64)
+
+
 def ngram_jaccard_neardup(sf_dir: str):
     """Exact word-3-gram Jaccard >= 0.5 pairs via the inverted-index
     set-similarity join (SQL-checked; no LSH approximation)."""
@@ -2718,6 +2733,7 @@ QUERIES = {
     "stream_content_dedup_clips": stream_content_dedup_clips,
     "stream_vocab_clips": stream_vocab_clips,
     "stream_sample_clips": stream_sample_clips,
+    "wer_adjacent_docs": wer_adjacent_docs,
     "audio_features": audio_features_q,
     "fingerprint_docs": fingerprint_docs,
     "minhash_neardup": minhash_neardup,

@@ -223,3 +223,86 @@ def levenshtein_batch(amat: np.ndarray, alen: np.ndarray,
         cur = np.minimum.accumulate(base, axis=1) + j_idx
         prev = np.where(active[:, None], cur, prev)
     return prev[np.arange(p), blen] if p else np.empty(0, np.int32)
+
+
+def token_distance_adjacent(docs: rd.Dataset, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_tokens: int = 64,
+                            num_buckets: int = 32) -> rd.Dataset:
+    """WORD-level edit distance (the WER numerator) between each doc
+    and its successor (``id + 1``) — the transcript-revision /
+    ASR-output QA comparison, token-exact.
+
+    Tokens are ``text.split(' ')`` with empty strings removed, first
+    ``max_tokens`` kept.  Each pair is encoded per batch with a LOCAL
+    vocabulary (np.unique factorize — only within-pair equality
+    matters, so no global dictionary ever builds or shuffles) and all
+    pairs in a batch run through the same vectorized Levenshtein DP as
+    :func:`edit_distance_pairs` (``levenshtein_batch`` is
+    alphabet-agnostic: int32 token ids here, bytes there).  One
+    successor bucket join moves only (id, group, truncated tokens);
+    output ``wer_micro = round(1e6 * dist / max(n_tokens_a, 1))``.
+
+    Rows-only (DuckDB's ``levenshtein`` is byte-level, so no SQL twin
+    exists for token alphabets — measured: ``levenshtein('',
+    chr(70000))`` = 4); exactness is pytest-gated against a
+    brute-force per-pair python DP (tests/test_editdist.py)."""
+    from .relational import bucket_join
+
+    def prep(prefix: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            txt = b[text_col].fillna("").astype(str)
+            toks = txt.str.split(" ").map(
+                lambda ws: " ".join([w for w in ws if w][:max_tokens]))
+            return pd.DataFrame({
+                f"doc_{prefix}": b[id_col].to_numpy(np.int64),
+                f"toks_{prefix}": toks,
+                "__k": b[id_col].to_numpy(np.int64)
+                + (1 if prefix == "a" else 0)})
+        return fn
+
+    left = docs.map_batches(prep("a"), batch_format="pandas")
+    right = docs.map_batches(prep("b"), batch_format="pandas")
+    pairs = bucket_join(left, right, on="__k",
+                        num_buckets=num_buckets)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "n_tokens_a": pd.Series([], dtype=np.int64),
+                                 "n_tokens_b": pd.Series([], dtype=np.int64),
+                                 "word_dist": pd.Series([], dtype=np.int64),
+                                 "wer_micro": pd.Series([], dtype=np.int64)})
+        la = [s.split(" ") if s else [] for s in b["toks_a"]]
+        lb = [s.split(" ") if s else [] for s in b["toks_b"]]
+        alen = np.array([len(x) for x in la], dtype=np.int64)
+        blen = np.array([len(x) for x in lb], dtype=np.int64)
+        vocab, codes = np.unique(
+            np.concatenate([np.concatenate([np.array(x, dtype=object)
+                                            for x in la + lb])
+                            if (alen.sum() + blen.sum()) else
+                            np.array([], dtype=object)]),
+            return_inverse=True)
+        p = len(b)
+        amat = np.zeros((p, max(int(alen.max(initial=0)), 1)), np.int32)
+        bmat = np.full((p, max(int(blen.max(initial=0)), 1)), -1, np.int32)
+        off = 0
+        for i, x in enumerate(la):
+            amat[i, :len(x)] = codes[off:off + len(x)]
+            off += len(x)
+        for i, x in enumerate(lb):
+            bmat[i, :len(x)] = codes[off:off + len(x)]
+            off += len(x)
+        dist = levenshtein_batch(amat, alen.astype(np.int32),
+                                 bmat, blen.astype(np.int32))
+        return pd.DataFrame({
+            "doc_a": b["doc_a"].to_numpy(np.int64),
+            "doc_b": b["doc_b"].to_numpy(np.int64),
+            "n_tokens_a": alen, "n_tokens_b": blen,
+            "word_dist": dist.astype(np.int64),
+            "wer_micro": np.rint(1e6 * dist
+                                 / np.maximum(alen, 1)).astype(np.int64)})
+
+    return pairs.map_batches(verify, batch_format="pandas",
+                             batch_size=4096)

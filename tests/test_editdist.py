@@ -97,3 +97,56 @@ def test_unicode_byte_level_distance(ray_session):
                        "text": ["日本語のテキスト", "日本語のテキスト!"]})
     out = edit_distance_pairs(rd.from_pandas(df), max_dist=4).to_pandas()
     assert [(r.doc_a, r.doc_b, r.dist) for r in out.itertuples()] == [(1, 2, 1)]
+
+
+def _wer_ref(a: list[str], b: list[str]) -> int:
+    prev = list(range(len(b) + 1))
+    for i, wa in enumerate(a, 1):
+        cur = [i]
+        for j, wb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (wa != wb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_token_distance_adjacent_equals_bruteforce(ray_session):
+    from parallel_dataflow_ray.stages.editdist import \
+        token_distance_adjacent
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 90)))
+             for _ in range(80)]
+    texts[10] = ""          # empty doc
+    texts[11] = None        # null doc
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": texts})
+    out = token_distance_adjacent(rd.from_pandas(df).repartition(6),
+                                  max_tokens=64).to_pandas() \
+        .sort_values("doc_a", ignore_index=True)
+    assert len(out) == 79
+    toks = [[w for w in (t or "").split(" ") if w][:64] for t in texts]
+    for r in out.itertuples():
+        want = _wer_ref(toks[r.doc_a], toks[r.doc_b])
+        assert r.word_dist == want, (r.doc_a, r.doc_b)
+        assert r.n_tokens_a == len(toks[r.doc_a])
+        assert r.n_tokens_b == len(toks[r.doc_b])
+        assert r.wer_micro == int(np.rint(
+            1e6 * want / max(len(toks[r.doc_a]), 1)))
+
+
+def test_token_distance_word_not_char_semantics(ray_session):
+    """'aa ab' vs 'aa ac': ONE word substitution (char distance would
+    be 1 as well here, so also check a swap where they diverge)."""
+    from parallel_dataflow_ray.stages.editdist import \
+        token_distance_adjacent
+
+    df = pd.DataFrame({
+        "doc_id": np.int64([0, 1, 2]),
+        "text": ["hello world foo", "hello universe foo",
+                 "universe hello foo"]})
+    out = token_distance_adjacent(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_a", ignore_index=True)
+    # one substitution; then one transposition = 2 word edits
+    assert out["word_dist"].tolist() == [1, 2]
