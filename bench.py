@@ -66,6 +66,7 @@ BATCH_QUERIES = [
     "quantiles_cont_lineitem", "skew_kurt_lineitem",
     "intersect_customers", "except_customers", "unpivot_event_counts",
     "events_range_scan", "latest_event_per_user", "wer_adjacent_docs",
+    "smb_join_order_lines",
 ]
 
 

@@ -2130,6 +2130,42 @@ def latest_event_per_user(sf_dir: str):
                               num_buckets=16)
 
 
+def smb_join_order_lines(sf_dir: str):
+    """Co-bucketed ZERO-SHUFFLE join (`stages/bucketed_io.py::smb_join`)
+    exposed end-to-end: orders and lineitem each persisted hash-bucketed
+    by their join key ONCE (the layouts' last-ever shuffles), then the
+    join is one map task per bucket id reading both sides' bucket files
+    — no sort, no exchange, resumable per bucket (the Spark/Hive SMB
+    plan).  Result: revenue cents per order priority; the oracle twin
+    is the plain shuffled join, proving the layout changes the exchange
+    plan, not one bit of the answer."""
+    import shutil
+    import tempfile
+
+    from ..stages.bucketed_io import smb_join, write_bucketed
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(_cents_col("l_extendedprice", "price_cents"),
+                        batch_format="pyarrow", batch_size=65536) \
+           .select_columns(["l_orderkey", "price_cents"])
+    la = tempfile.mkdtemp(prefix="smb_orders_", dir="/tmp")
+    lb = tempfile.mkdtemp(prefix="smb_lines_", dir="/tmp")
+    try:
+        write_bucketed(orders, la, "o_orderkey", num_buckets=32)
+        write_bucketed(li, lb, "l_orderkey", num_buckets=32)
+        j = smb_join(la, lb, on="o_orderkey", right_on="l_orderkey")
+        res = rel.grouped_sum(j, ["o_orderpriority"], ["price_cents"],
+                              count_as="n_lines",
+                              num_buckets=4).materialize()
+    finally:
+        shutil.rmtree(la, ignore_errors=True)
+        shutil.rmtree(lb, ignore_errors=True)
+    return res
+
+
 def events_range_scan(sf_dir: str):
     """Zone-map-pruned window scan over a RANGE-partitioned persisted
     layout (``stages/bucketed_io.py::write_range_partitioned``): events
@@ -2625,7 +2661,6 @@ QUERIES = {
     "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
     "decontaminate_docs": decontaminate_docs,
-    "dedup_incremental_docs": dedup_incremental_docs,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     # round-4 final-session additions — admitted by rotating r3-green
     # topk_users_hourly / chunk_docs / source_mixture / knn_topk /
@@ -2637,6 +2672,7 @@ QUERIES = {
     "unpivot_event_counts": unpivot_event_counts,
     "events_range_scan": events_range_scan,
     "latest_event_per_user": latest_event_per_user,
+    "smb_join_order_lines": smb_join_order_lines,
     # round-4 additions (declared in tests/test_driver_rotation.py
     # PENDING_FIRST_DRIVER_WINDOW until their first recorded sweep)
     "gopher_quality_docs": gopher_quality_docs,
@@ -2691,6 +2727,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
     "pack_token_shards": pack_token_shards,
+    "dedup_incremental_docs": dedup_incremental_docs,
     "decontaminate_docs_bloom": decontaminate_docs_bloom,
     "funnel_events": funnel_events,
     "stream_funnel_events": stream_funnel_events,
@@ -3936,6 +3973,14 @@ WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
            FROM events)
 SELECT event_id, user_id, ts_us, event_type, value_cents
 FROM e WHERE rn = 1
+""",
+    "smb_join_order_lines": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
 """,
     "events_range_scan": """
 WITH e AS (SELECT epoch_us(ts) AS eu, event_type,

@@ -32,7 +32,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "speaker_budget_clips", "unigram_logprob_docs",
     "jaccard_incremental_docs", "temperature_mix_docs",
     "quantiles_cont_lineitem", "skew_kurt_lineitem", "intersect_customers",
-    "except_customers", "unpivot_event_counts", "events_range_scan", "latest_event_per_user",
+    "except_customers", "unpivot_event_counts", "events_range_scan", "latest_event_per_user", "smb_join_order_lines",
 }
 
 
