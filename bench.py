@@ -60,7 +60,7 @@ BATCH_QUERIES = [
     "pagerank_orders", "editdist_neardup_docs", "sample_weighted_docs",
     "cube_revenue", "entropy_by_user", "cume_dist_docs",
     "pagerank_orders_smb", "shuffle_docs_epoch",
-    "speaker_budget_clips", "unigram_logprob_docs",
+    "speaker_budget_clips", "unigram_logprob_docs", "dsir_resample_docs",
     "jaccard_incremental_docs", "temperature_mix_docs",
     "minhash_incremental_docs",
     "quantiles_cont_lineitem", "skew_kurt_lineitem",

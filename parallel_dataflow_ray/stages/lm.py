@@ -29,7 +29,8 @@ import ray.data as rd
 from . import relational as rel
 
 __all__ = ["unigram_model", "load_or_train_unigram",
-           "score_docs_logprob", "unigram_logprob"]
+           "score_docs_logprob", "unigram_logprob",
+           "score_docs_importance"]
 
 
 def _count_tokens_fn(text_col: str):
@@ -147,6 +148,56 @@ def score_docs_logprob(ds: rd.Dataset, vocab: pd.Index,
         out["avg_logprob_micro"] = np.where(
             n > 0, out["logprob_micro"].to_numpy(np.float64)
             / np.maximum(n, 1), 0.0)
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas", batch_size=batch_size)
+
+
+def score_docs_importance(ds: rd.Dataset, target_model, raw_model, *,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          batch_size: int = 1024) -> rd.Dataset:
+    """DSIR-shape importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc
+    ``lw_micro = sum_tok [ log p_target(tok) - log p_raw(tok) ]`` under
+    two unigram models, each term quantized to integer micro-nats
+    BEFORE the sum (partition/replay invariant, bit-matches the SQL
+    twin's SUM).  ``target_model`` / ``raw_model`` are
+    ``(vocab_index, lp_micro, oov_lp_micro)`` triples from
+    :func:`unigram_model`.
+
+    One fused MAP-ONLY pass: both models ship together in a single
+    ``ray.put`` and every token is looked up against both vocabularies
+    in the same explode — no per-model scoring pass, no doc_id join to
+    recombine the two scores (the 100 TB shape: the corpus text is read
+    once and never shuffles)."""
+    v_t, lp_t, oov_t = target_model
+    v_r, lp_r, oov_r = raw_model
+    model_ref = ray.put((np.asarray(v_t), lp_t, np.asarray(v_r), lp_r))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        vt, lt, vr, lr = ray.get(model_ref)
+        it, ir = pd.Index(vt), pd.Index(vr)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        ex = ex[ex != ""]
+        toks = ex.to_numpy()
+        if len(toks):
+            pos_t = it.get_indexer(toks)
+            pos_r = ir.get_indexer(toks)
+        else:
+            pos_t = pos_r = np.empty(0, np.int64)
+        lw = (np.where(pos_t < 0, np.int64(oov_t),
+                       lt[np.where(pos_t < 0, 0, pos_t)])
+              - np.where(pos_r < 0, np.int64(oov_r),
+                         lr[np.where(pos_r < 0, 0, pos_r)]))
+        per = pd.DataFrame({id_col: b[id_col].reindex(ex.index).to_numpy(),
+                            "lw": lw})
+        agg = per.groupby(id_col, sort=False).agg(
+            n_tokens=("lw", "size"), lw_micro=("lw", "sum"))
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()}).merge(
+            agg, left_on=id_col, right_index=True, how="left")
+        out["n_tokens"] = out["n_tokens"].fillna(0).astype(np.int64)
+        out["lw_micro"] = out["lw_micro"].fillna(0).astype(np.int64)
         return out
 
     return ds.select_columns([id_col, text_col]).map_batches(

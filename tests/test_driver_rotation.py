@@ -29,7 +29,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "tfidf_top_terms", "rolling_sum_events", "pagerank_orders",
     "editdist_neardup_docs", "sample_weighted_docs", "cube_revenue",
     "entropy_by_user", "cume_dist_docs", "pagerank_orders_smb", "shuffle_docs_epoch",
-    "speaker_budget_clips", "unigram_logprob_docs",
+    "speaker_budget_clips", "unigram_logprob_docs", "dsir_resample_docs",
     "jaccard_incremental_docs", "temperature_mix_docs",
     "quantiles_cont_lineitem", "skew_kurt_lineitem", "intersect_customers",
     "except_customers", "unpivot_event_counts", "events_range_scan", "latest_event_per_user", "smb_join_order_lines",

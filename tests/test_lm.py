@@ -138,3 +138,91 @@ def test_load_or_train_unigram_cache_roundtrip(tmp_path):
     a = score_docs_logprob(rd.from_pandas(df), v1, lp1, oov1).to_pandas()
     b = score_docs_logprob(rd.from_pandas(df), v2, lp2, oov2).to_pandas()
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+def _bicorpus() -> pd.DataFrame:
+    """Two-domain corpus: 'good' docs speak g-words, 'crawl' docs
+    c-words, with shared function words f0/f1 in both."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for did in range(200):
+        tgt = did < 60
+        voc = ([f"g{i}" for i in range(8)] if tgt
+               else [f"c{i}" for i in range(20)]) + ["f0", "f1"]
+        n = int(rng.integers(5, 25))
+        rows.append((did, " ".join(rng.choice(voc, n)),
+                     "good" if tgt else "crawl"))
+    rows.append((900, "", "crawl"))
+    rows.append((901, None, "crawl"))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+
+
+def _importance_local_twin(df: pd.DataFrame, vocab_size: int
+                           ) -> pd.DataFrame:
+    def model(sub):
+        toks = sub["text"].fillna("").str.split(" ").explode()
+        toks = toks[toks != ""]
+        cnt = toks.value_counts(sort=False).rename_axis("w").reset_index(
+            name="n").sort_values(["n", "w"], ascending=[False, True],
+                                  kind="mergesort")
+        total = int(cnt["n"].sum())
+        lp = {w: int(np.rint(np.log(n / total) * 1e6))
+              for w, n in zip(cnt.head(vocab_size)["w"],
+                              cnt.head(vocab_size)["n"])}
+        return lp, int(np.rint(np.log(1.0 / total) * 1e6))
+
+    lp_t, oov_t = model(df[df["source"] == "good"])
+    lp_r, oov_r = model(df)
+    out = []
+    for did, text in zip(df["doc_id"], df["text"].fillna("")):
+        ts = [t for t in text.split(" ") if t != ""]
+        lw = sum(lp_t.get(t, oov_t) - lp_r.get(t, oov_r) for t in ts)
+        out.append((did, len(ts), int(lw)))
+    return pd.DataFrame(out, columns=["doc_id", "n_tokens", "lw_micro"])
+
+
+def test_importance_weights_match_local_twin_and_separate_domains():
+    from parallel_dataflow_ray.stages.lm import score_docs_importance
+
+    df = _bicorpus()
+    ds = rd.from_pandas(df)
+    tgt = rd.from_pandas(df[df["source"] == "good"].reset_index(drop=True))
+    v_t, lp_t, oov_t, _ = unigram_model(tgt, vocab_size=12)
+    v_r, lp_r, oov_r, _ = unigram_model(ds, vocab_size=12)
+    got = score_docs_importance(ds, (v_t, lp_t, oov_t),
+                                (v_r, lp_r, oov_r),
+                                batch_size=16).to_pandas()
+    want = _importance_local_twin(df, 12)
+    g = got.sort_values("doc_id", ignore_index=True)[want.columns]
+    for c in ("doc_id", "n_tokens", "lw_micro"):
+        g[c] = g[c].astype("int64")
+    pd.testing.assert_frame_equal(g, want.sort_values(
+        "doc_id", ignore_index=True))
+    # the DSIR point: target-domain docs carry higher mean weight
+    m = got.merge(df[["doc_id", "source"]], on="doc_id")
+    per_tok = m[m["n_tokens"] > 0]
+    mean_good = (per_tok[per_tok["source"] == "good"]["lw_micro"]
+                 / per_tok[per_tok["source"] == "good"]["n_tokens"]).mean()
+    mean_crawl = (per_tok[per_tok["source"] == "crawl"]["lw_micro"]
+                  / per_tok[per_tok["source"] == "crawl"]["n_tokens"]).mean()
+    assert mean_good > mean_crawl
+    # empty/null docs: zero tokens, zero weight
+    z = got.set_index("doc_id")
+    assert z.loc[900, "lw_micro"] == 0 and z.loc[901, "n_tokens"] == 0
+
+
+def test_importance_partition_invariance():
+    from parallel_dataflow_ray.stages.lm import score_docs_importance
+
+    df = _bicorpus()
+    tgt = rd.from_pandas(df[df["source"] == "good"].reset_index(drop=True))
+    mt = unigram_model(tgt, vocab_size=12)[:3]
+    mr = unigram_model(rd.from_pandas(df), vocab_size=12)[:3]
+    a = score_docs_importance(rd.from_pandas(df).repartition(1),
+                              mt, mr).to_pandas()
+    b = score_docs_importance(rd.from_pandas(df).repartition(7),
+                              mt, mr, batch_size=8).to_pandas()
+    key = ["doc_id", "n_tokens", "lw_micro"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values("doc_id", ignore_index=True),
+        b[key].sort_values("doc_id", ignore_index=True))
