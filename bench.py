@@ -67,6 +67,8 @@ BATCH_QUERIES = [
     "intersect_customers", "except_customers", "unpivot_event_counts",
     "events_range_scan", "latest_event_per_user", "wer_adjacent_docs",
     "smb_join_order_lines",
+    # round-4 session-7 additions
+    "bpe_train_merges", "bpe_encode_docs",
 ]
 
 

@@ -2091,6 +2091,45 @@ def dsir_resample_docs(sf_dir: str):
     return rel.top_k(scored, [("lw_micro", True), ("doc_id", False)], k)
 
 
+def bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016, the
+    GPT-2 recipe shape; ``stages/bpe.py``): ONE map-side-combined
+    word-count shuffle (O(distinct words) rows move, text never
+    shuffles) feeds a capped top-W word table, over which the greedy
+    merge loop runs fully vectorized (weighted pair counts via integer
+    pair codes + bincount, deterministic tie-break count desc / pair
+    lex asc, left-to-right non-overlap merges).  ``max_words=24`` makes
+    the cap BIND at every sf (the synthetic corpus vocabulary is ~31
+    words — the 100 TB scale mechanism is exercised, not just
+    configured; dropped mass is reported by the stage, never silent).
+    Rows-only: the iterative merge loop has no SQL twin; bit-exactness
+    vs a pure-Python reference trainer and partition invariance are
+    pytest-gated (tests/test_bpe.py)."""
+    from ..stages.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges, _stats = bpe_train(ds, num_merges=48, max_words=24,
+                               min_count=2)
+    return pa.Table.from_pandas(merges, preserve_index=False)
+
+
+def bpe_encode_docs(sf_dir: str):
+    """Train-then-tokenize composition: the learned merge table
+    broadcasts once (``ray.put``) and every doc is segmented MAP-ONLY
+    with the same vectorized merge kernel used in training (train- and
+    encode-time segmentation agree by construction; per-batch
+    ``np.unique`` collapses repeated words before any per-word work).
+    Emits (doc_id, n_words, n_bpe_tokens).  Rows-only; segmentation
+    properties (concatenation round-trip, prefix consistency with the
+    reference encoder) are pytest-gated."""
+    from ..stages.bpe import bpe_encode, bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges, _stats = bpe_train(ds, num_merges=48, max_words=24,
+                               min_count=2)
+    return bpe_encode(ds, merges)
+
+
 def build_audio_shards_q(sf_dir: str):
     """Training-shard materialization (rows-only; concatenated shard
     blobs reproduce the global resampled stream BIT-EXACTLY incl.
@@ -2828,6 +2867,8 @@ QUERIES = {
     "build_audio_shards": build_audio_shards_q,
     "transcode_clips": transcode_clips_q,
     "pca_embeddings": pca_embeddings,
+    "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_docs": bpe_encode_docs,
 }
 
 _TUMBLING_SQL = """
