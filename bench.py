@@ -68,7 +68,7 @@ BATCH_QUERIES = [
     "events_range_scan", "latest_event_per_user", "wer_adjacent_docs",
     "smb_join_order_lines",
     # round-4 session-7 additions
-    "bpe_train_merges", "bpe_encode_docs",
+    "bpe_train_merges", "bpe_encode_docs", "events_zorder_scan",
 ]
 
 

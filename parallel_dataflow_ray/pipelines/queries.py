@@ -2279,6 +2279,53 @@ def events_range_scan(sf_dir: str):
     return res
 
 
+def events_zorder_scan(sf_dir: str):
+    """2-D box scan over a Z-ORDER (Morton) persisted layout
+    (``stages/bucketed_io.py::write_zorder``): events land as one
+    parquet file per z-range over (user_id, ts) ONCE, then the box
+    "middle half of users x middle quarter of time" is read through
+    the 2-D zone map — only files whose (x, y) envelope intersects the
+    box open (at 100 TB a box scan restricted on EITHER dimension
+    prunes, which a single-key range layout cannot do), rows exactly
+    re-filtered, then a partial+final grouped sum.  The layout changes
+    the I/O plan, not one bit of the answer — the oracle twin is the
+    plain filtered aggregate."""
+    import shutil
+    import tempfile
+
+    from ..stages.bucketed_io import read_zorder_pruned, write_zorder
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts",
+                                               "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vu = np.rint(t["value"].to_numpy() * 1e6).astype(np.int64)
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "eu": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"],
+                         "value_micro": pa.array(vu)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    layout = tempfile.mkdtemp(prefix="events_zorder_", dir="/tmp")
+    try:
+        man = write_zorder(ds, layout, "user_id", "eu",
+                           num_partitions=16)
+        mnx, mxx = int(man["min_x"].min()), int(man["max_x"].max())
+        mny, mxy = int(man["min_y"].min()), int(man["max_y"].max())
+        x_lo = mnx + (mxx - mnx) * 1 // 4
+        x_hi = mnx + (mxx - mnx) * 3 // 4
+        y_lo = mny + (mxy - mny) * 3 // 8
+        y_hi = mny + (mxy - mny) * 5 // 8
+        box, _stats = read_zorder_pruned(layout, x_lo=x_lo, x_hi=x_hi,
+                                         y_lo=y_lo, y_hi=y_hi)
+        out = rel.grouped_sum(box, ["event_type"], ["value_micro"],
+                              count_as="n_events", num_buckets=4)
+        res = out.materialize()
+    finally:
+        shutil.rmtree(layout, ignore_errors=True)
+    return res
+
+
 def transcode_clips_q(sf_dir: str):
     """Codec transcoding audit (rows-only; exact 2x size law for pcm16
     sources, requant SNR >= 25 dB laws, audit==recomputed-SNR parity in
@@ -2730,7 +2777,6 @@ QUERIES = {
     "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
     "decontaminate_docs": decontaminate_docs,
-    "ngram_jaccard_neardup": ngram_jaccard_neardup,
     # round-4 final-session additions — admitted by rotating r3-green
     # topk_users_hourly / chunk_docs / source_mixture / knn_topk /
     # embedding_neardup past the head-50 (rows stand; pytest-gated)
@@ -2740,6 +2786,10 @@ QUERIES = {
     "except_customers": except_customers,
     "unpivot_event_counts": unpivot_event_counts,
     "events_range_scan": events_range_scan,
+    # z-order layout scan (round-4 session-7 addition) — admitted by
+    # rotating r3-green ngram_jaccard_neardup past the head-50 (its
+    # r03 driver row stands; pytest-mirror-gated every run)
+    "events_zorder_scan": events_zorder_scan,
     "latest_event_per_user": latest_event_per_user,
     "smb_join_order_lines": smb_join_order_lines,
     # round-4 additions (declared in tests/test_driver_rotation.py
@@ -2832,6 +2882,7 @@ QUERIES = {
     "ann_self_topk": ann_self_topk,
     "quantiles_lineitem": quantiles_lineitem,
     "heavy_bigrams": heavy_bigrams,
+    "ngram_jaccard_neardup": ngram_jaccard_neardup,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
     "minhash_incremental_docs": minhash_incremental_docs,
@@ -4116,6 +4167,23 @@ SELECT event_type,
 FROM e, b
 WHERE eu >= mn + (mx - mn) * 3 // 8
   AND eu <  mn + (mx - mn) * 5 // 8
+GROUP BY event_type
+""",
+    "events_zorder_scan": """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS eu,
+                  event_type,
+                  CAST(ROUND(value*1000000) AS BIGINT) AS value_micro
+           FROM events),
+     b AS (SELECT MIN(u) AS mnx, MAX(u) AS mxx,
+                  MIN(eu) AS mny, MAX(eu) AS mxy FROM e)
+SELECT event_type,
+       CAST(SUM(value_micro) AS BIGINT) AS value_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e, b
+WHERE u  >= mnx + (mxx - mnx) * 1 // 4
+  AND u  <  mnx + (mxx - mnx) * 3 // 4
+  AND eu >= mny + (mxy - mny) * 3 // 8
+  AND eu <  mny + (mxy - mny) * 5 // 8
 GROUP BY event_type
 """,
     "unpivot_event_counts": """

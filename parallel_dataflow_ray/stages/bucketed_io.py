@@ -255,9 +255,10 @@ def read_range_pruned(root: str, *, lo: int | None = None,
     stats = {"files_total": len(zones), "files_read": len(keep),
              "rows_in_files": int(sum(z["rows"] for z in keep))}
     if not keep:
-        empty = pq.read_table(os.path.join(root, "_schema.parquet"),
-                              columns=columns)
-        return rd.from_arrow(empty), stats
+        # read (not from_arrow): a 0-row from_arrow Dataset drops the
+        # schema on to_pandas, a 0-row parquet read keeps it
+        return rd.read_parquet([os.path.join(root, "_schema.parquet")],
+                               columns=columns), stats
     import pyarrow.compute as _pc
     flt = None
     if lo is not None:
@@ -265,6 +266,146 @@ def read_range_pruned(root: str, *, lo: int | None = None,
     if hi is not None:
         f2 = _pc.field(key) < hi
         flt = f2 if flt is None else (flt & f2)
+    files = [os.path.join(root, f"part={z['partition']:05d}.parquet")
+             for z in keep]
+    ds = rd.read_parquet(files, columns=columns, filter=flt)
+    return ds, stats
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout + 2-D box-pruned reads
+# ---------------------------------------------------------------------------
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each value so a second key can
+    interleave into the odd positions (Morton encoding, public bit
+    trick)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def _zorder_codes(x: np.ndarray, y: np.ndarray, xlo: int, xspan: int,
+                  ylo: int, yspan: int) -> np.ndarray:
+    """32-bit Morton code from two int64 keys, each linearly quantized
+    to 16 bits over its observed [min, max] (nominal cuts only — skew
+    cannot break correctness because pruning consults the manifest's
+    ACTUAL per-file min/max of each raw column, never the grid)."""
+    qx = ((x.astype(np.float64) - xlo) * (65535.0 / max(xspan, 1)))
+    qy = ((y.astype(np.float64) - ylo) * (65535.0 / max(yspan, 1)))
+    qx = np.clip(qx, 0, 65535).astype(np.uint64)
+    qy = np.clip(qy, 0, 65535).astype(np.uint64)
+    return _part1by1(qx) | (_part1by1(qy) << np.uint64(1))
+
+
+def write_zorder(ds: rd.Dataset, root: str, key_x: str, key_y: str, *,
+                 num_partitions: int = 32) -> pd.DataFrame:
+    """Persist ``ds`` as one parquet file per Z-ORDER range over two
+    int64 keys — the multi-dimensional generalization of
+    :func:`write_range_partitioned`: a scan restricted on EITHER key
+    (or a 2-D box on both) prunes files, because Morton interleaving
+    keeps both keys' locality in one linear order (the public
+    Delta/Iceberg OPTIMIZE ZORDER design).
+
+    One min/max pass per key picks the quantization grid; one shuffle
+    writes the layout (tmp+atomic-rename per partition — resumable);
+    the manifest records each file's actual min/max of BOTH raw keys
+    (a 2-D zone map).  Pruning is bounding-box-exact: a file is read
+    iff its (x, y) envelope intersects the query box — weaker than
+    BIGMIN-style z-interval splitting but correct and the standard
+    zone-map contract; rows are always exactly re-filtered."""
+    os.makedirs(root, exist_ok=True)
+    sch = ds.schema()
+    schema = pa.schema([(n, t if isinstance(t, pa.DataType)
+                         else pa.from_numpy_dtype(np.dtype(t)))
+                        for n, t in zip(sch.names, sch.types)])
+    pq.write_table(schema.empty_table(),
+                   os.path.join(root, "_schema.parquet"))
+
+    from ray.data.aggregate import Max, Min
+    mm = ds.aggregate(Min(key_x), Max(key_x), Min(key_y), Max(key_y))
+    xlo, xhi = int(mm[f"min({key_x})"]), int(mm[f"max({key_x})"])
+    ylo, yhi = int(mm[f"min({key_y})"]), int(mm[f"max({key_y})"])
+    xspan, yspan = max(xhi - xlo, 1), max(yhi - ylo, 1)
+    zmax = float(1 << 32)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        z = _zorder_codes(b[key_x].to_numpy(np.int64),
+                          b[key_y].to_numpy(np.int64),
+                          xlo, xspan, ylo, yspan)
+        p = (z.astype(np.float64) * (num_partitions / zmax))
+        b["__z"] = z.astype(np.int64)
+        b["__part"] = np.clip(p.astype(np.int64), 0, num_partitions - 1)
+        return b
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["__part"].iloc[0])
+        body = g.sort_values("__z", kind="mergesort").drop(
+            columns=["__part", "__z"])
+        path = os.path.join(root, f"part={pid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(body, schema=schema,
+                                            preserve_index=False), tmp)
+        os.rename(tmp, path)
+        return pd.DataFrame({
+            "partition": [pid], "rows": [len(body)],
+            "min_x": [int(body[key_x].min())],
+            "max_x": [int(body[key_x].max())],
+            "min_y": [int(body[key_y].min())],
+            "max_y": [int(body[key_y].max())]})
+
+    manifest = (ds.map_batches(tag, batch_format="pandas")
+                  .groupby("__part")
+                  .map_groups(write_part, batch_format="pandas")
+                  .to_pandas().sort_values("partition",
+                                           ignore_index=True))
+    with open(os.path.join(root, "_manifest.json"), "w") as f:
+        json.dump({"key_x": key_x, "key_y": key_y,
+                   "num_partitions": num_partitions,
+                   "zones": manifest.to_dict(orient="records")}, f)
+    return manifest
+
+
+def read_zorder_pruned(root: str, *, x_lo: int | None = None,
+                       x_hi: int | None = None, y_lo: int | None = None,
+                       y_hi: int | None = None,
+                       columns: list[str] | None = None
+                       ) -> tuple[rd.Dataset, dict]:
+    """Read a z-order layout for the half-open box
+    ``[x_lo, x_hi) x [y_lo, y_hi)`` opening only files whose 2-D zone
+    envelope intersects it.  Returns ``(dataset, stats)`` with
+    files_read / files_total (read amplification is part of the
+    result, never silent); rows are exactly re-filtered."""
+    with open(os.path.join(root, "_manifest.json")) as f:
+        m = json.load(f)
+    kx, ky = m["key_x"], m["key_y"]
+    zones = m["zones"]
+    keep = [z for z in zones
+            if (x_hi is None or z["min_x"] < x_hi)
+            and (x_lo is None or z["max_x"] >= x_lo)
+            and (y_hi is None or z["min_y"] < y_hi)
+            and (y_lo is None or z["max_y"] >= y_lo)]
+    stats = {"files_total": len(zones), "files_read": len(keep),
+             "rows_in_files": int(sum(z["rows"] for z in keep))}
+    if not keep:
+        # read (not from_arrow): a 0-row from_arrow Dataset drops the
+        # schema on to_pandas, a 0-row parquet read keeps it
+        return rd.read_parquet([os.path.join(root, "_schema.parquet")],
+                               columns=columns), stats
+    import pyarrow.compute as _pc
+    flt = None
+    for fld, lo, hi in ((kx, x_lo, x_hi), (ky, y_lo, y_hi)):
+        if lo is not None:
+            e = _pc.field(fld) >= lo
+            flt = e if flt is None else (flt & e)
+        if hi is not None:
+            e = _pc.field(fld) < hi
+            flt = e if flt is None else (flt & e)
     files = [os.path.join(root, f"part={z['partition']:05d}.parquet")
              for z in keep]
     ds = rd.read_parquet(files, columns=columns, filter=flt)
