@@ -69,6 +69,7 @@ BATCH_QUERIES = [
     "smb_join_order_lines",
     # round-4 session-7 additions
     "bpe_train_merges", "bpe_encode_docs", "events_zorder_scan",
+    "stream_cms_watch_clips",
 ]
 
 

@@ -1253,6 +1253,27 @@ def stream_sample_clips(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def stream_cms_watch_clips(sf_dir: str):
+    """Streaming Count-Min watchlist counts (rows-only): per (speaker,
+    window) the CMS min-estimate for each watched transcript term from
+    a FIXED depth x width counter matrix — bounded state under an
+    unbounded vocabulary, the 100 TB complement to the exact top-k
+    kernel.  The elementwise-sum merge is order/partition-invariant by
+    construction; the CMS overcount law and exact-at-default-width
+    parity vs brute-force counts are pytest-gated (test_cms_kernel),
+    and test_streaming_differential sweeps the kernel's full matrix."""
+    from ..streaming.kernels import CMSWatch
+    table = clips_table(400, seed=42, lateness_ms=40, n_speakers=7)
+    epochs = epochs_from_table(table, 97)
+    eng = StreamEngine("window",
+                       {"spec": CMSWatch(),
+                        "assigner": TumblingWindows(2_000_000)},
+                       num_partitions=4, allowed_lateness_us=50_000)
+    res = eng.run(epochs, collect=True, final_flush=True)
+    rows = [r for ep in res["emitted"] for r in ep]
+    return pd.DataFrame(rows)
+
+
 def user_event_sequences(sf_dir: str):
     """Grouped sequence building (collect/string_agg): each user's
     time-ordered event-type path — the session-sequence shape a
@@ -2894,6 +2915,7 @@ QUERIES = {
     "stream_content_dedup_clips": stream_content_dedup_clips,
     "stream_vocab_clips": stream_vocab_clips,
     "stream_sample_clips": stream_sample_clips,
+    "stream_cms_watch_clips": stream_cms_watch_clips,
     "wer_adjacent_docs": wer_adjacent_docs,
     "audio_features": audio_features_q,
     "fingerprint_docs": fingerprint_docs,

@@ -885,11 +885,109 @@ class SampleKMV(StreamOpSpec):
                 "kmv_est": est}
 
 
+class CMSWatch(StreamOpSpec):
+    """Per-(speaker, window) Count-Min sketch with a watchlist read-off:
+    BOUNDED-state approximate frequency counting — the 100 TB complement
+    to :class:`TopItems`, whose exact count map grows with the item
+    domain.  State is a fixed ``depth x width`` int64 counter matrix
+    (Cormode & Muthukrishnan 2005) + the exact total; every transcript
+    word increments one counter per hash row, and :meth:`finish` reads
+    off the min-estimate for each configured WATCH item (the
+    monitoring-query shape: track known terms over an unbounded
+    vocabulary at O(depth*width) memory per (key, window), forever).
+
+    Determinism discipline: the matrix merge is an elementwise integer
+    SUM — commutative/associative, so fold order and partitioning can't
+    change a bit (the differential matrix sweeps it for free).  The
+    classic CMS law ``true <= est <= true + 2N/width`` (w.h.p.) is
+    pytest-gated with an adversarially small width; at the default
+    width the fixture vocabulary is collision-free and the estimates
+    are exact.  Reference analog: the per-block lattice value fold
+    (`passes/src/reaching_defs.rs:38-60`) — a fixed-shape mergeable
+    summary updated per row."""
+
+    name = "cms_watch"
+    key_column = "speaker_id"
+    value_columns = ("transcript",)
+    DEPTH = 4
+    WIDTH = 1024
+    # mulmod row hashes: odd multipliers, fixed for run-to-run stability
+    _MULS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0xD6E8FEB86659FD93],
+                     dtype=np.uint64)
+
+    def __init__(self, watch: tuple[str, ...] = ("stream", "window",
+                                                 "codec", "the"),
+                 item_column: str = "transcript",
+                 key_column: str = "speaker_id",
+                 depth: int = 4, width: int = 1024):
+        self.watch = tuple(watch)
+        self.item_column = item_column
+        self.key_column = key_column
+        self.depth = int(depth)
+        self.width = int(width)
+        self.value_columns = (item_column,)
+
+    def _positions(self, items) -> np.ndarray:
+        """(depth, n) column indices for each item."""
+        from ..functions.hashing import _stable_token_hashes
+
+        h = _stable_token_hashes(list(items)).astype(np.uint64)
+        rows = (h[None, :] * self._MULS[:self.depth, None])
+        return ((rows >> np.uint64(40)) % np.uint64(self.width)).astype(
+            np.int64)
+
+    def initial_state(self):
+        return {"cms": np.zeros((self.depth, self.width), np.int64),
+                "n": 0}
+
+    def merge(self, a, b):
+        a["cms"] = a["cms"] + b["cms"]
+        a["n"] = a["n"] + b["n"]
+        return a
+
+    def update(self, state, rows: list[dict]):
+        words = " ".join((r[self.item_column] or "") for r in rows).split()
+        return self._ingest(state, words)
+
+    def update_table(self, state, t):
+        words = " ".join(
+            v or "" for v in t[self.item_column].to_pylist()).split()
+        return self._ingest(state, words)
+
+    def _ingest(self, state, words: list[str]):
+        if not words:
+            return state
+        uniq, counts = np.unique(np.array(words, dtype=object),
+                                 return_counts=True)
+        pos = self._positions(uniq)
+        cms = state["cms"]
+        for d in range(self.depth):
+            np.add.at(cms[d], pos[d], counts)
+        state["n"] += len(words)
+        return state
+
+    def estimate(self, state, items) -> np.ndarray:
+        pos = self._positions(items)
+        ests = np.stack([state["cms"][d][pos[d]]
+                         for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def finish(self, key, window, state) -> dict | None:
+        if state["n"] == 0:
+            return None
+        est = self.estimate(state, self.watch)
+        return {self.key_column: key, **_fmt_window(window),
+                "n_words": int(state["n"]),
+                "watch_counts": ",".join(
+                    f"{w}:{int(e)}" for w, e in zip(self.watch, est))}
+
+
 KERNELS: dict[str, type[StreamOpSpec]] = {
     k.name: k for k in
     (ActiveVersions, FirstSeen, ContentDedup, ReverseLiveWords,
      MetaConstants,
      CommonWords, ClipStats, AudioEnergy, AudioSpectral, CodecFunnel,
      CodecKleene, TopWords, QuantileHist, ClipProfile, VocabSketch,
-     SampleKMV)
+     SampleKMV, CMSWatch)
 }
