@@ -688,6 +688,42 @@ def balanced_docs(sf_dir: str):
     return smp.cap_per_key(ds, "lang", 150, id_col="doc_id", seed=11)
 
 
+def group_split_docs(sf_dir: str):
+    """LEAKAGE-SAFE train/val/test split: the split label is a pure
+    function of the GROUP key (``source``), not the row id, so every
+    doc from one source lands in one split — near-duplicates and
+    templated docs cluster within sources, and a row-hash split would
+    leak them across the train/eval boundary (the group-shuffle-split
+    discipline).  Zero shuffles for the labelling (same ``mult_hash``
+    map as ``split_docs``, keyed on the source's numeric id so the SQL
+    twin is bit-exact); the per-(split, source)-count aggregate then
+    proves no source straddles: ``n_sources`` sums to the corpus'
+    distinct-source count across splits."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        gid = b["source"].str.slice(3).astype(np.int64)
+        h = (smp.mult_hash(gid.to_numpy(), 13)
+             % np.uint64(1000)).astype(np.int64)
+        b = b.copy()
+        b["split"] = np.where(h < 800, "train",
+                              np.where(h < 900, "val", "test"))
+        return b[["split", "source"]]
+
+    labeled = ds.map_batches(lab, batch_format="pandas")
+    per_source = rel.grouped_sum(labeled, ["split", "source"], [],
+                                 count_as="n_docs")
+
+    def roll(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("split", sort=False).agg(
+            n_docs=("n_docs", "sum"), n_sources=("source", "nunique"))
+        return g.reset_index()
+
+    return rel.grouped_sum(
+        per_source.map_batches(roll, batch_format="pandas"),
+        ["split"], ["n_docs", "n_sources"], num_buckets=2)
+
+
 def curate_docs(sf_dir: str):
     """End-to-end curation pipeline — the composition a training-data
     corpus actually runs: vectorized quality features -> selective
@@ -2792,7 +2828,10 @@ QUERIES = {
     "stream_join_events": stream_join_events,
     "stream_join_events_salted": stream_join_events_salted,
     "stream_kleene_events": stream_kleene_events,
-    "stream_topk_event_types": stream_topk_event_types,
+    # leakage-safe group split (round-4 session-7 addition) — admitted
+    # by rotating r3-green stream_topk_event_types past the head-50
+    # (its r03 driver row stands; pytest-mirror-gated every run)
+    "group_split_docs": group_split_docs,
     "dup_spans_docs": dup_spans_docs,
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
     "curate_docs": curate_docs,
@@ -2904,6 +2943,7 @@ QUERIES = {
     "quantiles_lineitem": quantiles_lineitem,
     "heavy_bigrams": heavy_bigrams,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
+    "stream_topk_event_types": stream_topk_event_types,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
     "minhash_incremental_docs": minhash_incremental_docs,
@@ -4190,6 +4230,18 @@ FROM e, b
 WHERE eu >= mn + (mx - mn) * 3 // 8
   AND eu <  mn + (mx - mn) * 5 // 8
 GROUP BY event_type
+""",
+    "group_split_docs": """
+WITH l AS (SELECT doc_id, source,
+                  ((CAST(SUBSTR(source, 4) AS UBIGINT) % 4294967296)
+                   * 2654435761 + 13) % 4294967296 % 1000 AS h
+           FROM documents),
+s AS (SELECT CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val'
+                  ELSE 'test' END AS split, source
+      FROM l)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM s GROUP BY 1
 """,
     "events_zorder_scan": """
 WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS eu,

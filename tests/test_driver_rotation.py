@@ -33,8 +33,8 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "jaccard_incremental_docs", "temperature_mix_docs",
     "quantiles_cont_lineitem", "skew_kurt_lineitem", "intersect_customers",
     "except_customers", "unpivot_event_counts", "events_range_scan", "latest_event_per_user", "smb_join_order_lines",
-    # round-4 session-7 addition
-    "events_zorder_scan",
+    # round-4 session-7 additions
+    "events_zorder_scan", "group_split_docs",
 }
 
 
