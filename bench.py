@@ -69,7 +69,7 @@ BATCH_QUERIES = [
     "smb_join_order_lines",
     # round-4 session-7 additions
     "bpe_train_merges", "bpe_encode_docs", "events_zorder_scan",
-    "stream_cms_watch_clips", "group_split_docs",
+    "stream_cms_watch_clips", "group_split_docs", "pq_topk_embeddings",
 ]
 
 

@@ -925,6 +925,28 @@ def ivf_topk_q(sf_dir: str):
     return out
 
 
+def pq_topk_embeddings(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011) — the vector-
+    COMPRESSION scale path: sub-codebooks train distributedly (one
+    O(m x codes x batches) partial shuffle per round, bit-identical
+    under any partitioning), the corpus compresses MAP-ONLY to m=32
+    uint8 codes (8x smaller than float32 — at 100 TB the code table is
+    what lives hot; the float corpus is cold storage), queries answer
+    via an (m x codes) LUT gather per stored vector (ADC — no
+    decompression), and the top-`rerank` shortlist is re-scored
+    exactly against only its own float rows.  Rows-only (approximate
+    shortlist); ADC recall, rerank recall=1.0 on the shortlist, fit
+    partition-invariance and the compression ratio are pytest-gated
+    (tests/test_pq.py)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vectors(sf_dir)
+    C = sim.pq_fit(ds, m=32, n_codes=64, iters=6)
+    codes = sim.pq_encode(ds, C)
+    out = sim.pq_topk_rerank(ds, codes, q, 10, C, rerank=30)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
+
+
 def ann_self_topk(sf_dir: str):
     """Exact cosine top-5 neighbors for EVERY vector — distributed
     block-pair self-join (no all-pairs matrix in one place); oracle is a
@@ -2965,6 +2987,7 @@ QUERIES = {
     "embedding_neardup_lsh": embedding_neardup_lsh_q,
     "knn_topk_q8": knn_topk_q8,
     "ivf_topk": ivf_topk_q,
+    "pq_topk_embeddings": pq_topk_embeddings,
     "approx_distinct_users": approx_distinct_users,
     "approx_quantiles_events": approx_quantiles_events,
     "stream_quantile_durations": stream_quantile_durations,

@@ -631,3 +631,222 @@ def pca_transform(ds: rd.Dataset, mean: np.ndarray,
 
     return ds.map_batches(Project(), batch_format="pandas",
                           batch_size=4096)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the vector-compression ANN path
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(ds: rd.Dataset, *, m: int = 8, n_codes: int = 16,
+           iters: int = 4, seed: int = 7, vec_col: str = "embedding",
+           id_col: str = "vec_id", q_bits: int = 20) -> np.ndarray:
+    """Train PQ sub-codebooks (Jégou et al. 2011): split each d-dim
+    vector into ``m`` subvectors and run Euclidean k-means with
+    ``n_codes`` centroids in EVERY subspace — all m fits advance
+    together in each round, so one broadcast + ONE O(m x n_codes x
+    batches) partial-sum shuffle per round trains the whole codebook
+    (not m sequential fits).  Same exact-integer discipline as
+    :func:`kmeans_fit`: subvector sums are quantized to int64 before
+    the reduction, so any partitioning yields bit-identical codebooks
+    (driver-twin equality is pytest-gated).  Init: deterministic
+    hash-priority reservoir sample of ``n_codes`` corpus rows, each
+    split into its m subvectors.  Returns ``(m, n_codes, d//m)``."""
+    from .relational import grouped_sum
+    from .sampling import reservoir_sample
+
+    Q = np.int64(1) << q_bits
+    init = reservoir_sample(ds, n_codes, id_col=id_col, seed=seed
+                            ).to_pandas().sort_values(id_col)
+    X0 = _stack(init, vec_col)
+    d = X0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    C = np.ascontiguousarray(
+        X0.reshape(n_codes, m, sub).transpose(1, 0, 2)).astype(np.float64)
+    scols = [f"s{j}" for j in range(sub)]
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        class Partials:
+            def __init__(self):
+                self.C: np.ndarray | None = None
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if self.C is None:
+                    self.C = ray.get(cref)
+                X = _stack(batch, vec_col).astype(np.float64)
+                n = X.shape[0]
+                outs = []
+                for j in range(m):
+                    Xj = X[:, j * sub:(j + 1) * sub]
+                    Cj = self.C[j]
+                    # ||x - c||^2 argmin == argmax(x.c - ||c||^2/2)
+                    score = Xj @ Cj.T - 0.5 * (Cj * Cj).sum(axis=1)
+                    a = np.argmax(score, axis=1)
+                    Xq = np.rint(Xj * Q).astype(np.int64)
+                    sums = np.zeros((n_codes, sub), dtype=np.int64)
+                    np.add.at(sums, a, Xq)
+                    cnt = np.bincount(a, minlength=n_codes).astype(np.int64)
+                    touched = cnt > 0
+                    o = pd.DataFrame(sums[touched], columns=scols)
+                    o.insert(0, "code", np.nonzero(touched)[0].astype(np.int64))
+                    o.insert(0, "subspace", np.int64(j))
+                    o["n_vectors"] = cnt[touched]
+                    outs.append(o)
+                del n
+                return pd.concat(outs, ignore_index=True)
+
+        agg = grouped_sum(ds.map_batches(Partials(), batch_format="pandas",
+                                         batch_size=8192),
+                          ["subspace", "code"], scols + ["n_vectors"],
+                          num_buckets=8).to_pandas().sort_values(
+            ["subspace", "code"])
+        newC = C.copy()
+        s = np.ascontiguousarray(
+            agg[scols].to_numpy(dtype=np.float64)) / float(Q)
+        cnt = agg["n_vectors"].to_numpy(dtype=np.float64)[:, None]
+        mean = s / cnt
+        newC[agg["subspace"].to_numpy(), agg["code"].to_numpy()] = mean
+        C = newC
+    return C
+
+
+def pq_encode(ds: rd.Dataset, codebooks: np.ndarray, *,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> rd.Dataset:
+    """Compress every vector to ``m`` uint8 codes — map-only, one
+    broadcast; 64 float32 dims become 8 bytes (32x).  At 100 TB the
+    code table is what ships/joins; the float corpus is read once."""
+    cref = ray.put(codebooks)
+    m, n_codes, sub = codebooks.shape
+
+    class Encode:
+        def __init__(self):
+            self.C: np.ndarray | None = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.C is None:
+                self.C = ray.get(cref)
+            X = _stack(batch, vec_col).astype(np.float64)
+            codes = np.empty((X.shape[0], m), dtype=np.uint8)
+            for j in range(m):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                Cj = self.C[j]
+                score = Xj @ Cj.T - 0.5 * (Cj * Cj).sum(axis=1)
+                codes[:, j] = np.argmax(score, axis=1).astype(np.uint8)
+            return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                                 "pq_code": list(codes)})
+
+    return ds.map_batches(Encode(), batch_format="pandas",
+                          batch_size=8192)
+
+
+def pq_topk(code_ds: rd.Dataset, queries: np.ndarray, k: int,
+            codebooks: np.ndarray, *, id_col: str = "vec_id",
+            exclude_self: bool = True) -> pd.DataFrame:
+    """ADC top-k (asymmetric distance computation): each query
+    precomputes an ``(m, n_codes)`` dot-product LUT against the
+    codebooks, then every stored vector's approximate cosine is m LUT
+    gathers + a sum — no decompression, no float corpus read.  Same
+    per-batch local-top-k + driver merge shape as
+    :func:`brute_force_topk`; approximate (quantization error), so
+    rows-only with a pytest recall gate vs the exact path."""
+    m, n_codes, sub = codebooks.shape
+    nq, d = queries.shape
+    lut = np.empty((nq, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        lut[:, j, :] = queries[:, j * sub:(j + 1) * sub] @ codebooks[j].T
+    lref = ray.put(lut)
+
+    class LocalTopK:
+        def __init__(self):
+            self.L: np.ndarray | None = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.L is None:
+                self.L = ray.get(lref)
+            codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)
+            n = codes.shape[0]
+            cos = np.zeros((nq, n), dtype=np.float64)
+            for j in range(m):
+                cos += self.L[:, j, :][:, codes[:, j]]
+            kk = min(k + 1, n)      # +1 headroom for self-exclusion
+            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            rows = []
+            ids = batch[id_col].to_numpy()
+            for qi in range(nq):
+                sel = idx[qi]
+                rows.append(pd.DataFrame({
+                    "query_id": np.int64(qi),
+                    id_col: ids[sel],
+                    "cos_milli": np.rint(cos[qi, sel] * 1000
+                                         ).astype(np.int64)}))
+            return pd.concat(rows, ignore_index=True)
+
+    cand = code_ds.map_batches(LocalTopK(), batch_format="pandas",
+                               batch_size=8192).to_pandas()
+    if exclude_self:            # same convention as brute_force_topk:
+        # query index i is corpus row vec_id == i by construction
+        cand = cand[cand[id_col] != cand["query_id"]]
+    cand = cand.sort_values(["query_id", "cos_milli", id_col],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64)
+    return out[["query_id", "rank", id_col, "cos_milli"]]
+
+
+def pq_topk_rerank(ds: rd.Dataset, code_ds: rd.Dataset,
+                   queries: np.ndarray, k: int, codebooks: np.ndarray, *,
+                   rerank: int = 50, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> pd.DataFrame:
+    """ADC shortlist + exact rerank — the production PQ shape: the
+    compressed code table (32 bytes/vec here) answers the top-``rerank``
+    shortlist for every query, then ONLY the shortlisted ids' float
+    vectors are re-read (a broadcast id-set filter — O(nq x rerank)
+    rows, never the corpus) and scored exactly.  Recall ≈ 1 at a
+    fraction of the exact path's compute/IO; the float corpus is
+    touched once, for the shortlist only."""
+    short = pq_topk(code_ds, queries, rerank, codebooks, id_col=id_col)
+    wanted = np.unique(short[id_col].to_numpy())
+    wref = ray.put(set(int(x) for x in wanted))
+    qref = ray.put(queries)
+
+    class Rerank:
+        def __init__(self):
+            self.w = None
+            self.q = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.w is None:
+                self.w = ray.get(wref)
+                self.q = ray.get(qref)
+            ids = batch[id_col].to_numpy()
+            keep = np.fromiter((int(i) in self.w for i in ids), bool,
+                               len(ids))
+            if not keep.any():
+                return pd.DataFrame({id_col: np.empty(0, ids.dtype),
+                                     "query_id": np.empty(0, np.int64),
+                                     "cos_milli": np.empty(0, np.int64)})
+            X = _stack(batch.loc[keep], vec_col)
+            cos = self.q @ X.T
+            nq, n = cos.shape
+            return pd.DataFrame({
+                id_col: np.tile(ids[keep], nq),
+                "query_id": np.repeat(np.arange(nq, dtype=np.int64), n),
+                "cos_milli": np.rint(cos * 1000).astype(np.int64).ravel()})
+
+    scored = ds.map_batches(Rerank(), batch_format="pandas",
+                            batch_size=8192).to_pandas()
+    # keep only (query, id) pairs that were on that query's shortlist
+    key = pd.MultiIndex.from_frame(short[["query_id", id_col]])
+    scored = scored[pd.MultiIndex.from_frame(
+        scored[["query_id", id_col]]).isin(key)]
+    scored = scored.sort_values(["query_id", "cos_milli", id_col],
+                                ascending=[True, False, True])
+    out = scored.groupby("query_id", sort=True).head(k).reset_index(
+        drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64)
+    return out[["query_id", "rank", id_col, "cos_milli"]]
