@@ -2139,6 +2139,23 @@ def unigram_logprob_docs(sf_dir: str):
     return unigram_logprob(ds, vocab_size=16)
 
 
+def bigram_logprob_docs(sf_dir: str):
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007; the
+    KenLM-shaped upgrade of the unigram filter): two count shuffles —
+    O(distinct bigrams) and O(vocab) rows move, text never shuffles —
+    train a capped bigram table (conditional log-probs quantized to
+    micro-nats at TRAIN time against exact corpus unigram counts) plus
+    the capped unigram backoff model; every doc then scores MAP-ONLY:
+    first token unigram, later tokens the bigram conditional on a hit,
+    else ln(0.4) + unigram.  ``max_bigrams=64`` and ``vocab_size=16``
+    both BIND at every sf (the corpus has ~31 words, ~900 bigrams), so
+    the cap/backoff machinery is exercised, not just configured."""
+    from ..stages.lm import bigram_logprob
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_logprob(ds, vocab_size=16, max_bigrams=64)
+
+
 def dsir_resample_docs(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): pick the 10 % of
     the corpus that looks most like a target domain.  Two capped-vocab
@@ -2854,7 +2871,6 @@ QUERIES = {
     # by rotating r3-green stream_topk_event_types past the head-50
     # (its r03 driver row stands; pytest-mirror-gated every run)
     "group_split_docs": group_split_docs,
-    "dup_spans_docs": dup_spans_docs,
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
     "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
@@ -2883,6 +2899,10 @@ QUERIES = {
     # unigram-LM quality scoring (round-4 late addition) — admitted by
     # rotating r2-green lang_count back out (row stands; pytest-gated)
     "unigram_logprob_docs": unigram_logprob_docs,
+    # bigram stupid-backoff LM (round-4 session-7 addition) — admitted
+    # by rotating r3-green dup_spans_docs past the head-50 (its r03
+    # driver row stands; pytest-mirror-gated every run)
+    "bigram_logprob_docs": bigram_logprob_docs,
     # DSIR importance resampling (round-4 session-7 addition) — admitted
     # by rotating r2-green distinct_users_by_type back out (row stands)
     "dsir_resample_docs": dsir_resample_docs,
@@ -2965,6 +2985,7 @@ QUERIES = {
     "quantiles_lineitem": quantiles_lineitem,
     "heavy_bigrams": heavy_bigrams,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
+    "dup_spans_docs": dup_spans_docs,
     "stream_topk_event_types": stream_topk_event_types,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,

@@ -218,3 +218,144 @@ def unigram_logprob(ds: rd.Dataset, *, text_col: str = "text",
         num_buckets=num_buckets, batch_size=batch_size)
     return score_docs_logprob(ds, vocab, lp, oov, text_col=text_col,
                               id_col=id_col, batch_size=batch_size)
+
+
+_SEP = "\x1f"          # unit separator: joins (w1, w2) into one key
+
+
+def bigram_model(ds: rd.Dataset, *, text_col: str = "text",
+                 max_bigrams: int = 1 << 20, vocab_size: int = 65536,
+                 num_buckets: int = 16, batch_size: int = 1024):
+    """Train the stupid-backoff bigram model (Brants et al. 2007 shape):
+    one explode pass emits per-batch (w1, w2) count partials (adjacency
+    AFTER empty-token removal), ONE grouped-sum shuffle sizes the
+    exchange O(distinct bigrams), and the table is capped at the top
+    ``max_bigrams`` by (count desc, pair asc) — the cap is what bounds
+    the broadcast at 100 TB, same discipline as the unigram cap.  The
+    conditional log-prob ``ln(c(w1,w2)/c(w1))`` is quantized to integer
+    micro-nats at TRAIN time (c(w1) = exact corpus unigram count,
+    fetched only for the capped table's w1 set), so scoring is pure
+    lookup.  Returns ``(bigram_keys: pd.Index of "w1␟w2",
+    lp12_micro: int64[], unigram model triple)`` — the backoff side is
+    the capped unigram model with its OOV floor plus the quantized
+    ``ln(0.4)`` backoff penalty applied per MISSED bigram at score
+    time."""
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"k": [], "n": []}
+        toks = b[text_col].fillna("").str.split(" ")
+        for lst in toks:
+            lst = [t for t in lst if t != ""]
+            if len(lst) < 2:
+                continue
+            a = pd.Series(np.array(lst[:-1], dtype=object))
+            z = pd.Series(np.array(lst[1:], dtype=object))
+            out["k"].append((a + _SEP + z))
+        if not out["k"]:
+            return pd.DataFrame({"k": np.empty(0, object),
+                                 "n": np.empty(0, np.int64)})
+        vc = pd.concat(out["k"], ignore_index=True).value_counts(sort=False)
+        return pd.DataFrame({"k": vc.index.to_numpy(),
+                             "n": vc.to_numpy(np.int64)})
+
+    from . import relational as rel2
+
+    big = rel2.grouped_sum(
+        ds.map_batches(pair_counts, batch_format="pandas",
+                       batch_size=batch_size),
+        ["k"], ["n"], num_buckets=num_buckets).materialize()
+    top = rel2.top_k(big, [("n", True), ("k", False)],
+                     max_bigrams).to_pandas()
+
+    # exact corpus unigram counts for the capped table's w1 set only
+    uni_counts = rel2.grouped_sum(
+        ds.map_batches(_count_tokens_fn(text_col), batch_format="pandas",
+                       batch_size=batch_size),
+        ["word"], ["n"], num_buckets=num_buckets).to_pandas()
+    uni_idx = pd.Index(uni_counts["word"])
+    w1 = top["k"].str.split(_SEP).str[0]
+    c1 = uni_counts["n"].to_numpy(np.int64)[uni_idx.get_indexer(w1)]
+    lp12 = np.rint(np.log(top["n"].to_numpy(np.float64)
+                          / c1.astype(np.float64)) * 1e6).astype(np.int64)
+    uni = unigram_model(ds, text_col=text_col, vocab_size=vocab_size,
+                        num_buckets=num_buckets, batch_size=batch_size)
+    return pd.Index(top["k"]), lp12, uni
+
+
+BACKOFF_MICRO = int(np.rint(np.log(0.4) * 1e6))
+
+
+def score_docs_bigram(ds: rd.Dataset, bigram_keys: pd.Index,
+                      lp12_micro: np.ndarray, uni_model, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      batch_size: int = 1024) -> rd.Dataset:
+    """Score every doc MAP-ONLY under stupid backoff: the first token
+    scores unigram; token i>1 scores the bigram conditional when
+    (w_{i-1}, w_i) is in the capped table, else ``ln(0.4)`` + its
+    unigram score (capped vocab, OOV floor).  Every term is an int64
+    micro-nat BEFORE the per-doc sum — partition/replay invariant and
+    bit-matching the SQL twin.  Both models ship in one ``ray.put``."""
+    v_u, lp_u, oov_u = uni_model
+    ref = ray.put((np.asarray(bigram_keys), lp12_micro,
+                   np.asarray(v_u), lp_u))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        bk, l12, vu, lu = ray.get(ref)
+        bi, ui = pd.Index(bk), pd.Index(vu)
+        ex = b[text_col].fillna("").str.split(" ").explode()
+        ex = ex[ex != ""]
+        n_out = len(b)
+        if len(ex) == 0:
+            z = np.zeros(n_out, np.int64)
+            return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                                 "n_tokens": z, "n_hits": z.copy(),
+                                 "logprob_micro": z.copy(),
+                                 "avg_logprob_micro": np.zeros(n_out)})
+        doc = b[id_col].reindex(ex.index).to_numpy()
+        tok = ex.to_numpy()
+        prev = np.roll(tok, 1)
+        first = np.empty(len(tok), bool)
+        first[0] = True
+        first[1:] = doc[1:] != doc[:-1]
+        # unigram term for every token (used for firsts and misses)
+        pu = ui.get_indexer(tok)
+        lp_uni = np.where(pu < 0, np.int64(oov_u),
+                          lu[np.where(pu < 0, 0, pu)])
+        key = pd.Series(prev.astype(object)) + _SEP + \
+            pd.Series(tok.astype(object))
+        pb = bi.get_indexer(key.to_numpy())
+        hit = (pb >= 0) & ~first
+        lp = np.where(first, lp_uni,
+                      np.where(hit, l12[np.where(pb < 0, 0, pb)],
+                               np.int64(BACKOFF_MICRO) + lp_uni))
+        per = pd.DataFrame({id_col: doc, "lp": lp,
+                            "hit": hit.astype(np.int64)})
+        agg = per.groupby(id_col, sort=False).agg(
+            n_tokens=("lp", "size"), n_hits=("hit", "sum"),
+            logprob_micro=("lp", "sum"))
+        out = pd.DataFrame({id_col: b[id_col].to_numpy()}).merge(
+            agg, left_on=id_col, right_index=True, how="left")
+        for c in ("n_tokens", "n_hits", "logprob_micro"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        n = out["n_tokens"].to_numpy(np.int64)
+        out["avg_logprob_micro"] = np.where(
+            n > 0, out["logprob_micro"].to_numpy(np.float64)
+            / np.maximum(n, 1), 0.0)
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas", batch_size=batch_size)
+
+
+def bigram_logprob(ds: rd.Dataset, *, text_col: str = "text",
+                   id_col: str = "doc_id", max_bigrams: int = 1 << 20,
+                   vocab_size: int = 65536, num_buckets: int = 16,
+                   batch_size: int = 1024) -> rd.Dataset:
+    """Train-then-score composition: two count shuffles (bigrams,
+    unigrams), then one map-only scoring pass."""
+    bk, l12, uni = bigram_model(ds, text_col=text_col,
+                                max_bigrams=max_bigrams,
+                                vocab_size=vocab_size,
+                                num_buckets=num_buckets,
+                                batch_size=batch_size)
+    return score_docs_bigram(ds, bk, l12, uni[:3], text_col=text_col,
+                             id_col=id_col, batch_size=batch_size)
