@@ -4041,6 +4041,68 @@ SELECT d.doc_id,
            AS avg_logprob_micro
 FROM d LEFT JOIN agg a USING (doc_id)
 """,
+    # stupid-backoff bigram LM: capped bigram table (top-64 by count
+    # desc / pair asc), conditionals against EXACT corpus unigram
+    # counts, backoff = ln(0.4) + capped-unigram score (OOV floor),
+    # first token scores unigram — all terms quantized micro-nats
+    "bigram_logprob_docs": """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+raw AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                   AS ord
+        FROM d),
+seq AS (SELECT doc_id, tok,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+        FROM raw WHERE tok <> ''),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM seq GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+vocab AS (SELECT tok, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r FROM cnt),
+uni AS (SELECT v.tok,
+               CAST(ROUND(ln(CAST(v.n AS DOUBLE) / t.t) * 1e6) AS BIGINT)
+                   AS lp
+        FROM vocab v, tot t WHERE v.r <= 16),
+oovlp AS (SELECT CAST(ROUND(ln(1.0 / t.t) * 1e6) AS BIGINT) AS lp
+          FROM tot t),
+pair AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+         FROM seq a JOIN seq b ON a.doc_id = b.doc_id
+                               AND b.pos = a.pos + 1),
+bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+         FROM pair GROUP BY 1, 2),
+btop AS (SELECT w1, w2, n12,
+                ROW_NUMBER() OVER (ORDER BY n12 DESC,
+                                   w1 || chr(31) || w2) AS r
+         FROM bcnt),
+bmodel AS (SELECT b.w1, b.w2,
+                  CAST(ROUND(ln(CAST(b.n12 AS DOUBLE) / c.n) * 1e6)
+                       AS BIGINT) AS lp12
+           FROM btop b JOIN cnt c ON b.w1 = c.tok WHERE b.r <= 64),
+scored AS (SELECT s.doc_id,
+                  CASE WHEN s.pos = 1
+                           THEN COALESCE(u.lp, (SELECT lp FROM oovlp))
+                       WHEN bm.lp12 IS NOT NULL THEN bm.lp12
+                       ELSE CAST(ROUND(ln(0.4) * 1e6) AS BIGINT)
+                            + COALESCE(u.lp, (SELECT lp FROM oovlp))
+                  END AS lp,
+                  CASE WHEN s.pos > 1 AND bm.lp12 IS NOT NULL
+                       THEN 1 ELSE 0 END AS hit
+           FROM seq s
+           LEFT JOIN uni u ON s.tok = u.tok
+           LEFT JOIN seq p ON p.doc_id = s.doc_id AND p.pos = s.pos - 1
+           LEFT JOIN bmodel bm ON bm.w1 = p.tok AND bm.w2 = s.tok),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               CAST(SUM(lp) AS BIGINT) AS logprob_micro
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_hits, 0) AS n_hits,
+       COALESCE(a.logprob_micro, 0) AS logprob_micro,
+       COALESCE(a.logprob_micro * 1.0 / a.n_tokens, 0.0)
+           AS avg_logprob_micro
+FROM d LEFT JOIN agg a USING (doc_id)
+""",
     # DSIR importance resampling: two capped-vocab unigram models
     # (target = src0 slice, raw = whole corpus), per-token micro-nat
     # log-ratio summed per doc, global top-(n/10) by weight
