@@ -947,6 +947,31 @@ def pq_topk_embeddings(sf_dir: str):
     return out
 
 
+def ivfpq_topk_embeddings(sf_dir: str):
+    """IVF-PQ ANN (the Faiss ``IVFx,PQy`` composition): persisted IVF
+    centroids prune WHICH code rows do any work (nprobe/nlist of the
+    index), PQ codes bound WHAT each scan touches (uint8 LUT gathers),
+    the exact rerank reads floats only for the shortlist.  One
+    assign+encode pass builds the (cluster, pq_code) index table.
+    Rows-only; recall floors on clustered corpora, the
+    full-probe==exact-top-k law, and exact returned scores are
+    pytest-gated (tests/test_pq.py)."""
+    import os
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vectors(sf_dir)
+    key = sf_dir.strip("/").replace("/", "_")
+    C = sim.load_or_train_centroids(
+        ds, 16, cache_path=os.path.join(
+            "/tmp/graft_artifacts", f"ivf_centroids_{key}_16.parquet"))
+    B = sim.pq_fit(ds, m=32, n_codes=64, iters=6)
+    codes = sim.pq_encode_ivf(ds, C, B)
+    out = sim.ivfpq_topk(ds, codes, q, 10, centroids=C, codebooks=B,
+                         nprobe=8, rerank=40)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out
+
+
 def ann_self_topk(sf_dir: str):
     """Exact cosine top-5 neighbors for EVERY vector — distributed
     block-pair self-join (no all-pairs matrix in one place); oracle is a
@@ -3009,6 +3034,7 @@ QUERIES = {
     "knn_topk_q8": knn_topk_q8,
     "ivf_topk": ivf_topk_q,
     "pq_topk_embeddings": pq_topk_embeddings,
+    "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
     "approx_distinct_users": approx_distinct_users,
     "approx_quantiles_events": approx_quantiles_events,
     "stream_quantile_durations": stream_quantile_durations,

@@ -836,6 +836,7 @@ def pq_topk_rerank(ds: rd.Dataset, code_ds: rd.Dataset,
             return pd.DataFrame({
                 id_col: np.tile(ids[keep], nq),
                 "query_id": np.repeat(np.arange(nq, dtype=np.int64), n),
+                "cos": cos.ravel(),
                 "cos_milli": np.rint(cos * 1000).astype(np.int64).ravel()})
 
     scored = ds.map_batches(Rerank(), batch_format="pandas",
@@ -844,7 +845,153 @@ def pq_topk_rerank(ds: rd.Dataset, code_ds: rd.Dataset,
     key = pd.MultiIndex.from_frame(short[["query_id", id_col]])
     scored = scored[pd.MultiIndex.from_frame(
         scored[["query_id", id_col]]).isin(key)]
-    scored = scored.sort_values(["query_id", "cos_milli", id_col],
+    # order by the RAW float cosine (same tie-break as brute_force_topk:
+    # quantization-boundary ties resolve identically), then id
+    scored = scored.sort_values(["query_id", "cos", id_col],
+                                ascending=[True, False, True])
+    out = scored.groupby("query_id", sort=True).head(k).reset_index(
+        drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64)
+    return out[["query_id", "rank", id_col, "cos_milli"]]
+
+
+def pq_encode_ivf(ds: rd.Dataset, centroids: np.ndarray,
+                  codebooks: np.ndarray, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> rd.Dataset:
+    """One combined assign+encode pass: every vector gets its coarse
+    IVF cluster AND its m uint8 PQ codes — the persisted index table
+    IVF-PQ scans (the float corpus is read once, here)."""
+    ref = ray.put((centroids, codebooks))
+    m, n_codes, sub = codebooks.shape
+
+    class Encode:
+        def __init__(self):
+            self.s = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.s is None:
+                self.s = ray.get(ref)
+            C, B = self.s
+            X = _stack(batch, vec_col).astype(np.float64)
+            cl = np.argmax(X @ C.T, axis=1).astype(np.int64)
+            codes = np.empty((X.shape[0], m), dtype=np.uint8)
+            for j in range(m):
+                Cj = B[j]
+                codes[:, j] = np.argmax(
+                    X[:, j * sub:(j + 1) * sub] @ Cj.T
+                    - 0.5 * (Cj * Cj).sum(axis=1), axis=1).astype(np.uint8)
+            return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                                 "cluster": cl, "pq_code": list(codes)})
+
+    return ds.map_batches(Encode(), batch_format="pandas",
+                          batch_size=8192)
+
+
+def ivfpq_topk(ds: rd.Dataset, code_ds: rd.Dataset, queries: np.ndarray,
+               k: int, *, centroids: np.ndarray, codebooks: np.ndarray,
+               nprobe: int = 4, rerank: int = 50,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> pd.DataFrame:
+    """IVF-PQ (the Faiss `IVFx,PQy` composition, public design): the
+    coarse IVF quantizer prunes WHICH rows do ADC work (only code rows
+    whose cluster is among any query's ``nprobe`` nearest centroids —
+    at 100 TB, nprobe/nlist of the index instead of all of it; with a
+    cluster-partitioned layout the pruning happens at the read), PQ
+    compresses WHAT is scanned (uint8 codes, LUT gathers; the float
+    corpus stays cold), and the exact rerank touches floats only for
+    the shortlist.  ``code_ds`` is the persisted index table from
+    :func:`pq_encode_ivf`."""
+    m, n_codes, sub = codebooks.shape
+    nq = queries.shape[0]
+    qsim = queries @ centroids.T
+    probe = np.argsort(-qsim, axis=1)[:, :nprobe]         # (nq, nprobe)
+    lut = np.empty((nq, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        lut[:, j, :] = queries[:, j * sub:(j + 1) * sub] @ codebooks[j].T
+    ref = ray.put((probe, lut))
+
+    class ScanProbed:
+        def __init__(self):
+            self.s = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.s is None:
+                self.s = ray.get(ref)
+            probe_, lut_ = self.s
+            cl = batch["cluster"].to_numpy()
+            codes = np.stack(batch["pq_code"].to_numpy()).astype(np.int64)
+            ids = batch[id_col].to_numpy()
+            out = []
+            # per-batch shortlist budget: the RERANK width (+1 for
+            # self-exclusion), not k — otherwise a single-batch corpus
+            # caps the shortlist at k+1 and rerank has nothing to do
+            kk = min(max(rerank, k) + 1, len(ids))
+            for qi in range(nq):
+                sel = np.isin(cl, probe_[qi])
+                if not sel.any():
+                    continue
+                cs = codes[sel]
+                cos = np.zeros(cs.shape[0], dtype=np.float64)
+                for j in range(m):
+                    cos += lut_[qi, j, cs[:, j]]
+                kq = min(kk, len(cos))
+                top = np.argpartition(-cos, kq - 1)[:kq]
+                out.append(pd.DataFrame({
+                    "query_id": np.int64(qi), id_col: ids[sel][top],
+                    "cos_milli": np.rint(cos[top] * 1000
+                                         ).astype(np.int64)}))
+            if not out:
+                return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                     id_col: np.empty(0, ids.dtype),
+                                     "cos_milli": np.empty(0, np.int64)})
+            return pd.concat(out, ignore_index=True)
+
+    cand = code_ds.map_batches(ScanProbed(), batch_format="pandas",
+                               batch_size=8192).to_pandas()
+    cand = cand[cand[id_col] != cand["query_id"]]
+    cand = cand.sort_values(["query_id", "cos_milli", id_col],
+                            ascending=[True, False, True])
+    short = cand.groupby("query_id", sort=True).head(
+        max(rerank, k)).reset_index(drop=True)
+
+    # exact rerank over the shortlist's float rows only
+    wanted = set(int(x) for x in short[id_col].unique())
+    wref = ray.put(wanted)
+    qref = ray.put(queries)
+
+    class Rerank:
+        def __init__(self):
+            self.w = None
+            self.q = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.w is None:
+                self.w = ray.get(wref)
+                self.q = ray.get(qref)
+            ids = batch[id_col].to_numpy()
+            keep = np.fromiter((int(i) in self.w for i in ids), bool,
+                               len(ids))
+            if not keep.any():
+                return pd.DataFrame({id_col: np.empty(0, ids.dtype),
+                                     "query_id": np.empty(0, np.int64),
+                                     "cos_milli": np.empty(0, np.int64)})
+            X = _stack(batch.loc[keep], vec_col)
+            cos = self.q @ X.T
+            n = cos.shape[1]
+            return pd.DataFrame({
+                id_col: np.tile(ids[keep], nq),
+                "query_id": np.repeat(np.arange(nq, dtype=np.int64), n),
+                "cos": cos.ravel(),
+                "cos_milli": np.rint(cos * 1000).astype(np.int64).ravel()})
+
+    scored = ds.map_batches(Rerank(), batch_format="pandas",
+                            batch_size=8192).to_pandas()
+    key = pd.MultiIndex.from_frame(short[["query_id", id_col]])
+    scored = scored[pd.MultiIndex.from_frame(
+        scored[["query_id", id_col]]).isin(key)]
+    # order by the RAW float cosine (same tie-break as brute_force_topk:
+    # quantization-boundary ties resolve identically), then id
+    scored = scored.sort_values(["query_id", "cos", id_col],
                                 ascending=[True, False, True])
     out = scored.groupby("query_id", sort=True).head(k).reset_index(
         drop=True)

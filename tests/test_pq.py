@@ -95,3 +95,53 @@ def test_self_exclusion(ray_session):
     # the query's own row scores highest under ADC for clustered data
     assert (incl.groupby("query_id").head(1)["vec_id"].to_numpy()
             == np.arange(4)).all()
+
+
+def test_ivfpq_on_clustered_corpus(ray_session):
+    df = _corpus(n=600, dim=32, clusters=12, seed=21)
+    ds = rd.from_pandas(df)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q = X[:6]
+    exact = sim.brute_force_topk(ds, q, k=10)
+    C, _ = sim.kmeans_fit(ds, n_clusters=12, iters=4, seed=7)
+    B = sim.pq_fit(ds, m=16, n_codes=32, iters=5)
+    codes = sim.pq_encode_ivf(ds, C, B)
+    out = sim.ivfpq_topk(ds, codes, q, 10, centroids=C, codebooks=B,
+                         nprobe=6, rerank=80)
+    rec = np.mean([
+        len(set(out[out.query_id == i]["vec_id"])
+            & set(exact[exact.query_id == i]["vec_id"])) / 10
+        for i in range(6)])
+    # clustered data: probing 4/12 clusters keeps most true neighbors
+    assert rec >= 0.8, rec
+    # returned scores are always the TRUE cosine (exact rerank)
+    for _, r in out.iterrows():
+        true = int(np.rint(q[int(r.query_id)] @ X[int(r.vec_id)] * 1000))
+        assert int(r.cos_milli) == true
+
+
+def test_ivfpq_full_probe_equals_exact(ray_session):
+    # nprobe == nlist -> nothing pruned; wide shortlist -> exact top-k
+    df = _corpus(n=300, dim=32, clusters=8, seed=2)
+    ds = rd.from_pandas(df)
+    q = np.stack(df["embedding"].head(4).to_numpy()).astype(np.float64)
+    exact = sim.brute_force_topk(ds, q, k=10)
+    C, _ = sim.kmeans_fit(ds, n_clusters=8, iters=3, seed=7)
+    B = sim.pq_fit(ds, m=16, n_codes=32, iters=5)
+    codes = sim.pq_encode_ivf(ds, C, B)
+    out = sim.ivfpq_topk(ds, codes, q, 10, centroids=C, codebooks=B,
+                         nprobe=8, rerank=150)
+    for i in range(4):
+        assert (list(out[out.query_id == i]["vec_id"])
+                == list(exact[exact.query_id == i]["vec_id"]))
+
+
+def test_pq_encode_ivf_columns(ray_session):
+    df = _corpus(n=50, dim=32, seed=1)
+    ds = rd.from_pandas(df)
+    C, _ = sim.kmeans_fit(ds, n_clusters=4, iters=2, seed=7)
+    B = sim.pq_fit(ds, m=8, n_codes=8, iters=2)
+    e = sim.pq_encode_ivf(ds, C, B).to_pandas()
+    assert set(e.columns) == {"vec_id", "cluster", "pq_code"}
+    assert e["cluster"].between(0, 3).all()
+    assert np.stack(e["pq_code"].to_numpy()).shape == (50, 8)
