@@ -70,7 +70,7 @@ BATCH_QUERIES = [
     # round-4 session-7 additions
     "bpe_train_merges", "bpe_encode_docs", "events_zorder_scan",
     "stream_cms_watch_clips", "group_split_docs", "pq_topk_embeddings",
-    "bigram_logprob_docs", "ivfpq_topk_embeddings",
+    "bigram_logprob_docs", "ivfpq_topk_embeddings", "bm25_topk_docs",
 ]
 
 

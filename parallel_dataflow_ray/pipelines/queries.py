@@ -2181,6 +2181,21 @@ def bigram_logprob_docs(sf_dir: str):
     return bigram_logprob(ds, vocab_size=16, max_bigrams=64)
 
 
+def bm25_topk_docs(sf_dir: str):
+    """BM25 lexical retrieval (``stages/retrieval.py``): query
+    ('window', 'merge', 'scan') against the corpus — ONE stats pass
+    (per-term df + doc count + token count; O(terms)+2 rows shuffle),
+    then MAP-ONLY scoring against the broadcast idf table with every
+    per-term contribution quantized to micro before the per-doc sum,
+    global top-20 off per-block partial top-ks.  The retrieval shape a
+    RAG/data-curation stack runs at corpus scale: text never shuffles,
+    no inverted index materializes for a fixed query set."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["window", "merge", "scan"], k=20)
+
+
 def dsir_resample_docs(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): pick the 10 % of
     the corpus that looks most like a target domain.  Two capped-vocab
@@ -2897,7 +2912,6 @@ QUERIES = {
     # (its r03 driver row stands; pytest-mirror-gated every run)
     "group_split_docs": group_split_docs,
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
-    "curate_docs": curate_docs,
     "curate_neardup_docs": curate_neardup_docs,
     "decontaminate_docs": decontaminate_docs,
     # round-4 final-session additions — admitted by rotating r3-green
@@ -2928,6 +2942,10 @@ QUERIES = {
     # by rotating r3-green dup_spans_docs past the head-50 (its r03
     # driver row stands; pytest-mirror-gated every run)
     "bigram_logprob_docs": bigram_logprob_docs,
+    # BM25 retrieval (round-4 session-7 addition) — admitted by
+    # rotating r3-green curate_docs past the head-50 (its r03 driver
+    # row stands; pytest-mirror-gated every run)
+    "bm25_topk_docs": bm25_topk_docs,
     # DSIR importance resampling (round-4 session-7 addition) — admitted
     # by rotating r2-green distinct_users_by_type back out (row stands)
     "dsir_resample_docs": dsir_resample_docs,
@@ -3011,6 +3029,7 @@ QUERIES = {
     "heavy_bigrams": heavy_bigrams,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "dup_spans_docs": dup_spans_docs,
+    "curate_docs": curate_docs,
     "stream_topk_event_types": stream_topk_event_types,
     # -- rows-only (no SQL-expressible oracle) ---------------------------
     "pack_docs_greedy": pack_docs_greedy,
@@ -4066,6 +4085,41 @@ SELECT d.doc_id,
        COALESCE(a.logprob_micro * 1.0 / a.n_tokens, 0.0)
            AS avg_logprob_micro
 FROM d LEFT JOIN agg a USING (doc_id)
+""",
+    # BM25: Lucene-variant idf, identical float-op order, per-term
+    # scores quantized to micro before the per-doc SUM
+    "bm25_topk_docs": """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+tk AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+lens AS (SELECT d.doc_id, COALESCE(c.n, 0) AS dl
+         FROM d LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+                           FROM tk GROUP BY 1) c USING (doc_id)),
+stats AS (SELECT (SELECT COUNT(*) FROM d) AS n_docs,
+                 (SELECT COUNT(*) FROM tk) AS n_tokens),
+terms(term) AS (VALUES ('merge'), ('scan'), ('window')),
+dfs AS (SELECT t.term,
+               (SELECT COUNT(DISTINCT tk.doc_id) FROM tk
+                WHERE tk.tok = t.term) AS df
+        FROM terms t),
+tfs AS (SELECT tk.doc_id, tk.tok AS term,
+               CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tk JOIN terms t ON tk.tok = t.term GROUP BY 1, 2),
+per AS (SELECT f.doc_id,
+               CAST(ROUND(
+                   ln((s.n_docs - d2.df + 0.5) / (d2.df + 0.5) + 1.0)
+                   * f.tf * 2.2
+                   / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                    / (s.n_tokens * 1.0 / s.n_docs)))
+                   * 1e6) AS BIGINT) AS s_micro
+        FROM tfs f JOIN dfs d2 USING (term)
+                   JOIN lens l USING (doc_id), stats s),
+agg AS (SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
+        FROM per GROUP BY 1),
+alldocs AS (SELECT d.doc_id, COALESCE(a.bm25_micro, 0) AS bm25_micro
+            FROM d LEFT JOIN agg a USING (doc_id))
+SELECT doc_id, bm25_micro FROM alldocs
+ORDER BY bm25_micro DESC, doc_id LIMIT 20
 """,
     # stupid-backoff bigram LM: capped bigram table (top-64 by count
     # desc / pair asc), conditionals against EXACT corpus unigram

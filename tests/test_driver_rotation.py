@@ -35,6 +35,7 @@ PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     "except_customers", "unpivot_event_counts", "events_range_scan", "latest_event_per_user", "smb_join_order_lines",
     # round-4 session-7 additions
     "events_zorder_scan", "group_split_docs", "bigram_logprob_docs",
+    "bm25_topk_docs",
 }
 
 
