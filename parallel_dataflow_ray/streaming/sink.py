@@ -248,6 +248,53 @@ class ExactlyOnceSink:
         return stats
 
     @staticmethod
+    def read_as_of(root: str, epoch: int) -> pa.Table | None:
+        """TIME-TRAVEL read: exactly the rows committed with epoch
+        number <= ``epoch`` — the sink analog of a lakehouse snapshot
+        read (audit "what had the stream emitted by epoch E", diff two
+        checkpoints, reproduce a downstream job's input).
+
+        Works before AND after :meth:`compact`: per-epoch fragments
+        are filtered by epoch number directly; compacted files hold
+        their epochs' rows in EPOCH ORDER (compaction folds epochs
+        sorted, and successive compactions append later epochs in seq
+        order), so the as-of subset of a partition's compacted data is
+        its row PREFIX of length sum(rows of compacted epochs <= E) —
+        the manifest's retained per-epoch lineage makes the prefix
+        computable without any per-row epoch column."""
+        man_dir = os.path.join(root, "manifest")
+        if not os.path.isdir(man_dir):
+            return None
+        tables = []
+        for name in sorted(os.listdir(man_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(man_dir, name)) as f:
+                man = json.load(f)
+            eps = sorted(((int(e), rec) for e, rec in
+                          man["epochs"].items()), key=lambda kv: kv[0])
+            # live per-epoch fragments in range
+            for e, rec in eps:
+                if e <= epoch and rec.get("fragment"):
+                    fp = os.path.join(root, "data", rec["fragment"])
+                    tables.append(pq.read_table(fp))
+            # compacted prefix in range
+            prefix = sum(rec["rows"] for e, rec in eps
+                         if e <= epoch and rec.get("compacted"))
+            if prefix > 0:
+                need = prefix
+                for fn in man.get("compacted", []):
+                    if need <= 0:
+                        break
+                    t = pq.read_table(os.path.join(root, "data", fn))
+                    take = min(need, t.num_rows)
+                    tables.append(t.slice(0, take))
+                    need -= take
+        if not tables:
+            return None
+        return pa.concat_tables(tables, promote_options="default")
+
+    @staticmethod
     def committed_files(root: str) -> list[str]:
         """Every committed data file (per-epoch fragments + compacted),
         manifest-driven — the exactly-once read set."""

@@ -103,3 +103,50 @@ def test_read_stream_output_dataset(tmp_path, ray_session):
     cols = read_stream_output(str(tmp_path / "sink"),
                               columns=["key"]).schema().names
     assert cols == ["key"]
+
+
+def _as_of_rows(root, e):
+    t = ExactlyOnceSink.read_as_of(str(root), e)
+    return canonical_sort(t.to_pylist()) if t is not None else []
+
+
+def test_read_as_of_prefix_semantics(tmp_path):
+    """Time-travel: read_as_of(E) == rows of every committed epoch <= E,
+    identical before and after compaction (and after a second
+    generation of epochs + compaction)."""
+    _run(tmp_path)
+    root = tmp_path / "sink"
+    lineage = ExactlyOnceSink.lineage(str(root))
+    max_epoch = max(r["epoch"] for r in lineage)
+    mid = max_epoch // 2
+    # ground truth from per-epoch lineage: fragments filtered by epoch
+    want_mid = _as_of_rows(root, mid)
+    want_all = _as_of_rows(root, max_epoch)
+    assert want_all == _sink_rows(root)
+    n_mid = sum(r["rows"] for r in lineage if r["epoch"] <= mid)
+    assert sum(1 for _ in want_mid) == n_mid
+    assert 0 < n_mid < len(want_all)
+
+    # compaction must not change any snapshot
+    ExactlyOnceSink.compact(str(root))
+    assert _as_of_rows(root, mid) == want_mid
+    assert _as_of_rows(root, max_epoch) == want_all
+    # epoch horizons below the first commit yield nothing
+    assert _as_of_rows(root, -1) == []
+
+
+def test_read_as_of_across_two_compaction_generations(tmp_path):
+    epochs = _epochs()
+    half = len(epochs) // 2
+    _run(tmp_path, stop_after_epoch=half)
+    root = tmp_path / "sink"
+    ExactlyOnceSink.compact(str(root))           # generation 1
+    _run(tmp_path)                               # resume to the end
+    lineage = ExactlyOnceSink.lineage(str(root))
+    max_epoch = max(r["epoch"] for r in lineage)
+    mid = max_epoch // 2
+    want_mid = _as_of_rows(root, mid)
+    want_all = _sink_rows(root)
+    ExactlyOnceSink.compact(str(root))           # generation 2
+    assert _as_of_rows(root, mid) == want_mid
+    assert _as_of_rows(root, max_epoch) == want_all
