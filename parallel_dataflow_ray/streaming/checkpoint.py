@@ -71,3 +71,33 @@ class CheckpointStore:
                 return None
             latest.append(e)
         return min(latest)
+
+    @staticmethod
+    def gc(root: str, num_partitions: int, *, keep: int = 2) -> dict:
+        """Retention: delete checkpoint files no resume can ever load.
+
+        Both same-P and rescale resume load exactly
+        ``resume_epoch = min_p(latest(p))`` (engine.py:552,579), so any
+        epoch BELOW the global minimum is dead state — a long stream
+        with ``ckpt_interval=k`` otherwise accumulates epochs/k
+        snapshots per partition forever.  Keeps every epoch >= the
+        global resume point plus the newest ``keep`` below it (margin
+        for operators that inspect history), never touches LATEST, and
+        is idempotent.  Returns {"removed", "kept", "resume_epoch"}."""
+        re = CheckpointStore.resume_epoch(root, num_partitions)
+        stats = {"removed": 0, "kept": 0, "resume_epoch": re}
+        if re is None:
+            return stats
+        for p in range(num_partitions):
+            d = os.path.join(root, f"p{p:05d}")
+            if not os.path.isdir(d):
+                continue
+            eps = sorted(int(fn[1:-5]) for fn in os.listdir(d)
+                         if fn.startswith("e") and fn.endswith(".ckpt"))
+            below = [e for e in eps if e < re]
+            victims = below[:max(0, len(below) - keep)]
+            for e in victims:
+                os.remove(os.path.join(d, f"e{e:06d}.ckpt"))
+            stats["removed"] += len(victims)
+            stats["kept"] += len(eps) - len(victims)
+        return stats

@@ -97,3 +97,49 @@ def test_lineage_records(tmp_path):
     # every partition recorded every epoch exactly once
     seen = {(r["partition"], r["epoch"]) for r in lin}
     assert len(seen) == len(lin) == P * len(epochs)
+
+
+def test_checkpoint_gc_keeps_resume_exact(tmp_path):
+    """GC'ing dead checkpoints (below the global resume point) must not
+    change what a resume emits; file count genuinely shrinks; GC is
+    idempotent and keeps LATEST consistent."""
+    import os
+
+    from parallel_dataflow_ray.streaming.checkpoint import CheckpointStore
+
+    def eng():
+        return StreamEngine("window",
+                            {"spec": KERNELS["clip_stats"](),
+                             "assigner": WIN},
+                            num_partitions=P,
+                            allowed_lateness_us=LATENESS_US,
+                            sink_root=str(tmp_path / "sink"),
+                            ckpt_root=str(tmp_path / "ckpt"),
+                            ckpt_interval=1)
+
+    epochs = epochs_from_table(_table(), EPOCH_ROWS)
+    kill_at = len(epochs) - 2
+    eng().run(epochs, stop_after_epoch=kill_at)
+
+    def n_ckpts():
+        total = 0
+        for p in range(P):
+            d = tmp_path / "ckpt" / f"p{p:05d}"
+            total += len([f for f in os.listdir(d)
+                          if f.endswith(".ckpt")])
+        return total
+
+    before = n_ckpts()
+    stats = CheckpointStore.gc(str(tmp_path / "ckpt"), P, keep=1)
+    assert stats["removed"] > 0 and n_ckpts() == before - stats["removed"]
+    # the resume point survives GC by construction
+    assert CheckpointStore.resume_epoch(str(tmp_path / "ckpt"), P) \
+        == stats["resume_epoch"]
+    # idempotent
+    again = CheckpointStore.gc(str(tmp_path / "ckpt"), P, keep=1)
+    assert again["removed"] == 0
+
+    # resume after GC: byte-identical to the oracle, still a true resume
+    res = eng().run(epochs)
+    assert res["start_epoch"] > 0
+    assert _sink_rows(tmp_path / "sink") == _oracle_rows()
