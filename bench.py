@@ -71,6 +71,7 @@ BATCH_QUERIES = [
     "bpe_train_merges", "bpe_encode_docs", "events_zorder_scan",
     "stream_cms_watch_clips", "group_split_docs", "pq_topk_embeddings",
     "bigram_logprob_docs", "ivfpq_topk_embeddings", "bm25_topk_docs",
+    "compress_ratio_docs",
 ]
 
 

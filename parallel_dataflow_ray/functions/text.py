@@ -186,3 +186,21 @@ def dup_ngram_stats(texts: pd.Series, k: int = 3) -> dict[str, np.ndarray]:
                          0).astype(np.int64)
     return {"n_grams": n_grams, "n_distinct": n_distinct,
             "dup_milli": dup_milli}
+
+
+def compression_ratio_milli(texts: pd.Series, level: int = 6) -> np.ndarray:
+    """zlib compressibility as a boilerplate/repetition signal (the
+    Gopher/RedPajama-class quality feature): ``1000 * compressed_len /
+    max(raw_len, 1)`` per doc, int64.  Highly repetitive or templated
+    text compresses far below natural prose (~400-700‰); binary-ish or
+    high-entropy gibberish sits near (or above) 1000‰.  The per-row
+    call is a C-library pass (zlib), same cost model as the compiled
+    regexes above; deterministic for a fixed level by zlib's spec."""
+    import zlib
+
+    vals = texts.fillna("").to_numpy()
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, s in enumerate(vals):
+        raw = s.encode("utf-8", "surrogatepass")
+        out[i] = (1000 * len(zlib.compress(raw, level))) // max(len(raw), 1)
+    return out

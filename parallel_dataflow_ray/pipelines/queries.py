@@ -2181,6 +2181,26 @@ def bigram_logprob_docs(sf_dir: str):
     return bigram_logprob(ds, vocab_size=16, max_bigrams=64)
 
 
+def compress_ratio_docs(sf_dir: str):
+    """zlib-compressibility quality signal (rows-only: no SQL zlib):
+    per-doc compressed/raw ratio in milli + a coarse quality bucket —
+    repetitive boilerplate compresses hard (low ratio), high-entropy
+    gibberish doesn't (near 1000).  Map-only, zero shuffles except the
+    tiny bucket count; the signal laws (repetition ⇒ lower ratio,
+    determinism, bounds) are pytest-gated (tests/test_text_quality.py)."""
+    from ..functions.text import compression_ratio_milli
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feat(b: pd.DataFrame) -> pd.DataFrame:
+        r = compression_ratio_milli(b["text"])
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "compress_milli": r,
+                             "bucket": np.minimum(r // 100, 10)})
+
+    return ds.map_batches(feat, batch_format="pandas", batch_size=1024)
+
+
 def bm25_topk_docs(sf_dir: str):
     """BM25 lexical retrieval (``stages/retrieval.py``): query
     ('window', 'merge', 'scan') against the corpus — ONE stats pass
@@ -3044,6 +3064,7 @@ QUERIES = {
     "stream_sample_clips": stream_sample_clips,
     "stream_cms_watch_clips": stream_cms_watch_clips,
     "wer_adjacent_docs": wer_adjacent_docs,
+    "compress_ratio_docs": compress_ratio_docs,
     "audio_features": audio_features_q,
     "fingerprint_docs": fingerprint_docs,
     "minhash_neardup": minhash_neardup,

@@ -69,3 +69,27 @@ def test_dup_ngram_boilerplate_scores_high():
     g = dup_ngram_stats(pd.Series([looped, clean]))
     assert g["dup_milli"][0] > 900
     assert g["dup_milli"][1] == 0
+
+
+def test_compression_ratio_signal():
+    import numpy as np
+    import pandas as pd
+
+    from parallel_dataflow_ray.functions.text import compression_ratio_milli
+
+    rng = np.random.default_rng(4)
+    rep = "spam ham " * 200
+    prose = " ".join(rng.choice(
+        ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+         "dogs", "while", "rivers", "bend"], 400))
+    noise = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, 1600))
+    s = pd.Series([rep, prose, noise, "", None])
+    r = compression_ratio_milli(s)
+    # repetition compresses hardest; random printable noise barely
+    assert r[0] < r[1] < r[2]
+    assert r[0] < 100 and r[2] > 700
+    # empty/null: compressing b"" still emits the zlib header (ratio
+    # floor via max(len,1)) — just pin determinism and non-negativity
+    assert r[3] >= 0 and r[4] >= 0
+    r2 = compression_ratio_milli(s)
+    assert (r == r2).all()
