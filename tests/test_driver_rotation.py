@@ -21,22 +21,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Queries added since the last recorded driver sweep: they ride the
 # pytest mirror gate until the next CORRECTNESS_r*.json lands, at which
 # point they must either be green there or be moved out of this set.
-PENDING_FIRST_DRIVER_WINDOW: set[str] = {
-    # round-4 additions, placed in the head-50 window
-    "gopher_quality_docs", "repetition_docs", "pack_audio_shards",
-    "rank_orders_window", "rollup_revenue", "ntile_docs",
-    "moments_lineitem", "corr_lineitem", "mode_event_type",
-    "tfidf_top_terms", "rolling_sum_events", "pagerank_orders",
-    "editdist_neardup_docs", "sample_weighted_docs", "cube_revenue",
-    "entropy_by_user", "cume_dist_docs", "pagerank_orders_smb", "shuffle_docs_epoch",
-    "speaker_budget_clips", "unigram_logprob_docs", "dsir_resample_docs",
-    "jaccard_incremental_docs", "temperature_mix_docs",
-    "quantiles_cont_lineitem", "skew_kurt_lineitem", "intersect_customers",
-    "except_customers", "unpivot_event_counts", "events_range_scan", "latest_event_per_user", "smb_join_order_lines",
-    # round-4 session-7 additions
-    "events_zorder_scan", "group_split_docs", "bigram_logprob_docs",
-    "bm25_topk_docs",
-}
+# round-4's 36 pending names all went driver-green in CORRECTNESS_r04 and
+# were pruned here (VERDICT r4 item 1).  Add round-5 queries below as they
+# land; prune again once CORRECTNESS_r05.json covers them.
+PENDING_FIRST_DRIVER_WINDOW: set[str] = set()
 
 
 def _driver_green() -> dict[str, list[str]]:
