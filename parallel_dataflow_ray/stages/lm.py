@@ -244,7 +244,10 @@ def bigram_model(ds: rd.Dataset, *, text_col: str = "text",
         out = {"k": [], "n": []}
         toks = b[text_col].fillna("").str.split(" ")
         for lst in toks:
-            lst = [t for t in lst if t != ""]
+            # drop empty tokens AND tokens carrying the in-band pair
+            # separator: "a\x1fb" followed by "c" would otherwise alias
+            # the distinct pair ("a", "b\x1fc") in the count table
+            lst = [t for t in lst if t != "" and _SEP not in t]
             if len(lst) < 2:
                 continue
             a = pd.Series(np.array(lst[:-1], dtype=object))
@@ -302,7 +305,9 @@ def score_docs_bigram(ds: rd.Dataset, bigram_keys: pd.Index,
         bk, l12, vu, lu = ray.get(ref)
         bi, ui = pd.Index(bk), pd.Index(vu)
         ex = b[text_col].fillna("").str.split(" ").explode()
-        ex = ex[ex != ""]
+        # same token filter as training (empty + separator-carrying),
+        # so score-time adjacency matches the trained pair table
+        ex = ex[(ex != "") & ~ex.str.contains(_SEP, regex=False)]
         n_out = len(b)
         if len(ex) == 0:
             z = np.zeros(n_out, np.int64)

@@ -47,6 +47,12 @@ def bm25_stats(ds: rd.Dataset, query_terms: list[str], *,
     corpus document count, total token count.  Only O(|terms|) + 2
     rows cross the shuffle."""
     terms = sorted(set(query_terms))
+    # the corpus-metadata rows ride the term column behind a "\x02"
+    # prefix; a query term carrying that byte would alias them (corpus
+    # tokens can't — only query-term matches are ever emitted as rows)
+    bad = [t for t in terms if "\x02" in t]
+    if bad:
+        raise ValueError(f"query terms may not contain \\x02: {bad!r}")
     tref = ray.put(np.array(terms, dtype=object))
 
     def partial(bt: pd.DataFrame) -> pd.DataFrame:

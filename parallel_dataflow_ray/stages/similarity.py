@@ -774,16 +774,21 @@ def pq_topk(code_ds: rd.Dataset, queries: np.ndarray, k: int,
             for j in range(m):
                 cos += self.L[:, j, :][:, codes[:, j]]
             kk = min(k + 1, n)      # +1 headroom for self-exclusion
-            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
             rows = []
             ids = batch[id_col].to_numpy()
+            # local selection on the SAME quantized (cos_milli desc,
+            # id asc) key the global merge uses — raw-float argpartition
+            # here would make the shortlist depend on batch boundaries
+            # at milli-quantization ties (partition-invariance
+            # discipline; mirrors brute_force_topk's convention)
+            cm_all = np.rint(cos * 1000).astype(np.int64)
             for qi in range(nq):
-                sel = idx[qi]
+                cm = cm_all[qi]
+                sel = np.lexsort((ids, -cm))[:kk]
                 rows.append(pd.DataFrame({
                     "query_id": np.int64(qi),
                     id_col: ids[sel],
-                    "cos_milli": np.rint(cos[qi, sel] * 1000
-                                         ).astype(np.int64)}))
+                    "cos_milli": cm[sel]}))
             return pd.concat(rows, ignore_index=True)
 
     cand = code_ds.map_batches(LocalTopK(), batch_format="pandas",
@@ -890,8 +895,8 @@ def pq_encode_ivf(ds: rd.Dataset, centroids: np.ndarray,
 def ivfpq_topk(ds: rd.Dataset, code_ds: rd.Dataset, queries: np.ndarray,
                k: int, *, centroids: np.ndarray, codebooks: np.ndarray,
                nprobe: int = 4, rerank: int = 50,
-               id_col: str = "vec_id", vec_col: str = "embedding"
-               ) -> pd.DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               exclude_self: bool = True) -> pd.DataFrame:
     """IVF-PQ (the Faiss `IVFx,PQy` composition, public design): the
     coarse IVF quantizer prunes WHICH rows do ADC work (only code rows
     whose cluster is among any query's ``nprobe`` nearest centroids —
@@ -935,11 +940,15 @@ def ivfpq_topk(ds: rd.Dataset, code_ds: rd.Dataset, queries: np.ndarray,
                 for j in range(m):
                     cos += lut_[qi, j, cs[:, j]]
                 kq = min(kk, len(cos))
-                top = np.argpartition(-cos, kq - 1)[:kq]
+                # quantized local selection (cos_milli desc, id asc) —
+                # same key as the global merge, so the shortlist is
+                # partition-invariant at milli-boundary ties
+                cm = np.rint(cos * 1000).astype(np.int64)
+                sids = ids[sel]
+                top = np.lexsort((sids, -cm))[:kq]
                 out.append(pd.DataFrame({
-                    "query_id": np.int64(qi), id_col: ids[sel][top],
-                    "cos_milli": np.rint(cos[top] * 1000
-                                         ).astype(np.int64)}))
+                    "query_id": np.int64(qi), id_col: sids[top],
+                    "cos_milli": cm[top]}))
             if not out:
                 return pd.DataFrame({"query_id": np.empty(0, np.int64),
                                      id_col: np.empty(0, ids.dtype),
@@ -948,7 +957,10 @@ def ivfpq_topk(ds: rd.Dataset, code_ds: rd.Dataset, queries: np.ndarray,
 
     cand = code_ds.map_batches(ScanProbed(), batch_format="pandas",
                                batch_size=8192).to_pandas()
-    cand = cand[cand[id_col] != cand["query_id"]]
+    if exclude_self:        # query index i is corpus row vec_id == i by
+        # convention; external-query callers whose queries are NOT
+        # corpus rows pass exclude_self=False (matches pq_topk)
+        cand = cand[cand[id_col] != cand["query_id"]]
     cand = cand.sort_values(["query_id", "cos_milli", id_col],
                             ascending=[True, False, True])
     short = cand.groupby("query_id", sort=True).head(

@@ -62,14 +62,23 @@ class CheckpointStore:
 
     @staticmethod
     def resume_epoch(root: str, num_partitions: int) -> int | None:
-        """Highest epoch checkpointed by ALL partitions, else None."""
+        """Highest epoch checkpointed by ALL partitions, else None.
+
+        READ-ONLY: inspects ``LATEST`` files directly rather than
+        instantiating :class:`CheckpointStore` (whose ``__init__``
+        mkdirs).  Calling a maintenance entry point (gc, resume probes)
+        with an overestimated ``num_partitions`` must not fabricate
+        empty ``pNNNNN`` dirs — ``list_checkpoint_partitions`` infers
+        the old partition count from ``max(pid) + 1``, and phantom dirs
+        would silently push the next engine start onto the rescale path
+        with no loadable epoch (replaying from epoch 0)."""
         latest = []
         for p in range(num_partitions):
-            store = CheckpointStore(root, p)
-            e = store.latest_epoch()
-            if e is None:
+            lp = os.path.join(root, f"p{p:05d}", "LATEST")
+            if not os.path.exists(lp):
                 return None
-            latest.append(e)
+            with open(lp, "rb") as f:
+                latest.append(int(f.read()))
         return min(latest)
 
     @staticmethod

@@ -45,6 +45,18 @@ except ImportError:
     _HAVE_LANCE = False
 
 
+def _read_fragment(path: str) -> pa.Table:
+    """Format dispatch shared by every reader (read_all, read_as_of,
+    compact): ``.lance`` fragments are self-contained datasets, anything
+    else is a parquet file.  Keeping ONE dispatch point means a sink
+    written with ``fragment_format='lance'`` behaves identically on
+    full reads, time-travel reads, and compaction."""
+    if path.endswith(".lance"):
+        import lance as _lance
+        return _lance.dataset(path).to_table()
+    return pq.read_table(path)
+
+
 def _atomic_write_bytes(path: str, data: bytes, durable: bool = True) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -149,13 +161,8 @@ class ExactlyOnceSink:
         if not frags:
             return None
 
-        def _read(p: str) -> pa.Table:
-            if p.endswith(".lance"):
-                import lance as _lance
-                return _lance.dataset(p).to_table()
-            return pq.read_table(p)
-
-        return pa.concat_tables([_read(p) for p in frags], promote_options="default")
+        return pa.concat_tables(
+            [_read_fragment(p) for p in frags], promote_options="default")
 
     @staticmethod
     def lineage(root: str) -> list[dict]:
@@ -218,7 +225,7 @@ class ExactlyOnceSink:
             tables, old_paths = [], []
             for _e, rec in frag_epochs:
                 fp = os.path.join(data_dir, rec["fragment"])
-                tables.append(pq.read_table(fp))
+                tables.append(_read_fragment(fp))
                 old_paths.append(fp)
             merged = pa.concat_tables(tables, promote_options="default")
             seq = len(man.get("compacted", []))
@@ -240,7 +247,10 @@ class ExactlyOnceSink:
             man["compacted"] = man.get("compacted", []) + new_files
             _atomic_write_bytes(path, json.dumps(man).encode(), durable=True)
             for fp in old_paths:
-                if os.path.exists(fp):
+                if os.path.isdir(fp):       # a .lance fragment is a directory
+                    import shutil
+                    shutil.rmtree(fp)
+                elif os.path.exists(fp):
                     os.remove(fp)
             stats["partitions"] += 1
             stats["fragments_removed"] += len(old_paths)
@@ -277,7 +287,7 @@ class ExactlyOnceSink:
             for e, rec in eps:
                 if e <= epoch and rec.get("fragment"):
                     fp = os.path.join(root, "data", rec["fragment"])
-                    tables.append(pq.read_table(fp))
+                    tables.append(_read_fragment(fp))
             # compacted prefix in range
             prefix = sum(rec["rows"] for e, rec in eps
                          if e <= epoch and rec.get("compacted"))
