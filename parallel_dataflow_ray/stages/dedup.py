@@ -898,48 +898,66 @@ def dedup_against_corpus(new: rd.Dataset, corpus: rd.Dataset, *,
                          num_buckets: int = 32) -> rd.Dataset:
     """Incremental exact dedup — the production ingest shape (a fresh
     crawl shard arriving against an already-curated corpus): drop every
-    new doc whose exact text already exists in the corpus (anti join on
-    the 8-byte SipHash fingerprint; only the corpus's DISTINCT
-    fingerprints cross the shuffle, never its text), then exact-dedup
-    WITHIN the shard (smallest id wins, duplicate count carried).
-    Output: (doc_id, n_dups) of the surviving new docs.
+    new doc whose exact text already exists in the corpus, then
+    exact-dedup WITHIN the shard (smallest id wins, duplicate count
+    carried).  Output: (doc_id, n_dups) of the surviving new docs.
 
-    Collision bound (ADVICE r3): fingerprint equality stands in for
-    text equality, so a 64-bit collision (2^-64 per cross pair; by the
-    birthday bound material only as the corpus approaches ~2^32 docs)
-    would silently drop a genuinely-new doc or merge two distinct ones.
-    That is the same trade every hash-fingerprint path in this repo
-    makes (``exact_dedup``, the substring window hashes); at 10^12-doc
-    scale, widen ``fingerprint64`` to 128 bits or re-verify text on
-    match within each anti-join bucket (the join already co-locates the
-    colliding rows) rather than trusting 64 bits.
+    Fingerprints are 128-bit (two independent SipHash-64 passes,
+    ``fingerprint128`` — the widening the r3/r4 advisories asked for):
+    2^-64 per-pair collisions are birthday-material as a corpus
+    approaches ~2^32 docs, i.e. AT the 10^12-doc design point; 2^-128
+    is not.  Text itself still never crosses the wire.
+
+    Shuffle shape: ONE bucketed exchange keyed on the LOW half (rows
+    equal in 128 bits are equal in 64, so bucketing by ``lo``
+    co-locates every true duplicate pair); the corpus ships per-batch
+    DISTINCT (lo, hi) pairs only, and each bucket does the anti-match
+    on the full pair plus the within-shard keep-first in one pass —
+    one shuffle where the previous anti-join + keep-first shape took
+    two.
 
     Reference analog: the kill-set invalidation in ReachingDefs
     (passes/src/reaching_defs.rs:38-60) — membership in an existing
     definition set suppresses re-emission; here membership in the
     corpus fingerprint set suppresses ingest."""
-    from .relational import bucket_join, bucketed_groupby
+    from ..functions.text import fingerprint128
+    from .relational import bucketed_groupby
 
-    def fp_with_id(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: b[id_col],
-                             "__fp": fingerprint64(b[text_col])})
+    def shard_fp(b: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = fingerprint128(b[text_col])
+        return pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                             "__fp": lo, "__fp2": hi,
+                             "__side": np.int8(1)})
 
-    def fp_only(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"__fp": fingerprint64(b[text_col])})
+    def corpus_fp(b: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = fingerprint128(b[text_col])
+        out = pd.DataFrame({id_col: np.int64(0), "__fp": lo, "__fp2": hi,
+                            "__side": np.int8(0)})
+        # per-batch distinct: global dups across batches are harmless
+        # for set membership, and this bounds what ships
+        return out.drop_duplicates(["__fp", "__fp2"])
 
-    fresh = bucket_join(new.map_batches(fp_with_id, batch_format="pandas"),
-                        corpus.map_batches(fp_only, batch_format="pandas"),
-                        on="__fp", how="anti", num_buckets=num_buckets)
+    tagged = new.map_batches(shard_fp, batch_format="pandas").union(
+        corpus.map_batches(corpus_fp, batch_format="pandas"))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        win = g.drop_duplicates("__fp", keep="first")
-        sz = g.groupby("__fp", sort=False).size()
+    def anti_then_first(g: pd.DataFrame) -> pd.DataFrame:
+        seen = g.loc[g["__side"] == 0, ["__fp", "__fp2"]]
+        n = g[g["__side"] == 1]
+        if len(seen):
+            key = pd.MultiIndex.from_frame(n[["__fp", "__fp2"]])
+            n = n[~key.isin(pd.MultiIndex.from_frame(seen))]
+        if not len(n):
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "n_dups": np.empty(0, np.int64)})
+        n = n.sort_values(id_col, kind="mergesort")
+        win = n.drop_duplicates(["__fp", "__fp2"], keep="first")
+        sz = n.groupby(["__fp", "__fp2"], sort=False).size()
         out = win.copy()
-        out["n_dups"] = sz.loc[win["__fp"]].to_numpy(np.int64)
+        out["n_dups"] = sz.loc[pd.MultiIndex.from_frame(
+            win[["__fp", "__fp2"]])].to_numpy(np.int64)
         return out[[id_col, "n_dups"]]
 
-    return bucketed_groupby(fresh, ["__fp"], keep_first,
+    return bucketed_groupby(tagged, ["__fp"], anti_then_first,
                             num_buckets=num_buckets)
 
 
@@ -1469,3 +1487,112 @@ def embedding_neardup_lsh(ds: rd.Dataset, threshold: float, *,
     return bucketed_groupby(
         pairs, ["id_a", "id_b"],
         lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cross-corpus dedup (Raffel et al. 2020, public recipe)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(ds: rd.Dataset, *, delimiter: str = "\n",
+                text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64) -> rd.Dataset:
+    """LINE-granularity dedup across the whole corpus — the C4 recipe
+    (Raffel et al. 2020 §2.2: any line occurring more than once in the
+    dataset is kept ONCE, at its first occurrence, and removed from
+    every later document).  The missing granularity between this
+    repo's doc-level ``exact_dedup`` and span-level ``dup_spans``:
+    boilerplate lines (nav bars, cookie banners, license footers) that
+    repeat across millions of pages are struck while the surrounding
+    prose survives.
+
+    Survivor semantics match the ROW_NUMBER twin exactly: per distinct
+    line text, the occurrence with the smallest ``(doc_id, line_no)``
+    (1-based line numbers) is kept; every other occurrence is removed.
+    Output per doc: ``(doc_id, text_dedup, n_lines,
+    n_removed_lines)`` — every doc appears, ``text_dedup`` is the
+    surviving lines re-joined by ``delimiter`` in original order (''
+    when everything was struck).
+
+    Scale shape: two bucketed exchanges.  (1) Lines ship as 128-bit
+    fingerprint + (doc_id, line_no) triples — never the line text —
+    bucketed on the LOW hash half (equal lines co-locate; the in-group
+    match keys on the full pair, same discipline as
+    ``dedup_against_corpus``); each group emits ONLY its non-survivor
+    occurrences, so the mark stream is O(removed lines), not O(lines).
+    (2) Marks co-locate with their docs in one doc-keyed bucket pass
+    (the only stage where text moves — same shape as
+    ``scrub_dup_spans``) and each doc re-splits, drops its marked
+    line_nos, and re-joins.  Decision-by-fingerprint: a false merge
+    needs a 2^-128 collision.
+
+    Reference analog: the first-definition-wins merge of ReachingDefs
+    (passes/src/reaching_defs.rs:38-60) applied per line instead of
+    per definition."""
+    from ..functions.text import fingerprint128
+    from .relational import bucketed_groupby
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        ls = b[text_col].fillna("").str.split(delimiter)
+        ex = ls.explode()
+        pos = ex.index.to_numpy()
+        lo, hi = fingerprint128(ex.reset_index(drop=True))
+        return pd.DataFrame({
+            "__lo": lo, "__hi": hi,
+            id_col: b[id_col].to_numpy(np.int64)[pos],
+            "__ln": (ex.groupby(level=0).cumcount() + 1)
+            .to_numpy(np.int64)})
+
+    def non_survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__lo", "__hi", id_col, "__ln"],
+                          kind="mergesort")
+        loser = g.duplicated(["__lo", "__hi"], keep="first")
+        out = g.loc[loser, [id_col, "__ln"]].copy()
+        out["__side"] = np.int8(1)
+        return out
+
+    marks = bucketed_groupby(
+        ds.select_columns([id_col, text_col]).map_batches(
+            explode, batch_format="pandas", batch_size=1024),
+        ["__lo"], non_survivors, num_buckets=num_buckets)
+
+    def doc_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),
+                             "__ln": np.int64(0),
+                             "__side": np.int8(0),
+                             text_col: b[text_col].fillna("")})
+
+    def mark_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[text_col] = ""
+        return b[[id_col, "__ln", "__side", text_col]]
+
+    tagged = ds.select_columns([id_col, text_col]).map_batches(
+        doc_side, batch_format="pandas").union(
+        marks.map_batches(mark_side, batch_format="pandas"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        removed: dict[int, set] = {}
+        for d, ln in zip(
+                g.loc[g["__side"] == 1, id_col].to_numpy(np.int64),
+                g.loc[g["__side"] == 1, "__ln"].to_numpy(np.int64)):
+            removed.setdefault(int(d), set()).add(int(ln))
+        docs = g[g["__side"] == 0]
+        ids = docs[id_col].to_numpy(np.int64)
+        texts = docs[text_col].to_numpy(object)
+        out_text = np.empty(len(ids), object)
+        n_lines = np.empty(len(ids), np.int64)
+        n_rm = np.empty(len(ids), np.int64)
+        for i, (d, t) in enumerate(zip(ids, texts)):
+            lines = t.split(delimiter)
+            gone = removed.get(int(d), ())
+            kept = [l for j, l in enumerate(lines, 1) if j not in gone]
+            out_text[i] = delimiter.join(kept)
+            n_lines[i] = len(lines)
+            n_rm[i] = len(gone)
+        return pd.DataFrame({id_col: ids, "text_dedup": out_text,
+                             "n_lines": n_lines,
+                             "n_removed_lines": n_rm})
+
+    return bucketed_groupby(tagged, [id_col], rebuild,
+                            num_buckets=num_buckets)

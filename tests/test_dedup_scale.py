@@ -375,3 +375,62 @@ def test_minhash_against_corpus_subset_of_exact_and_planted_recall():
     assert set(near["doc_id"]) <= set(got["doc_id"])
     # genuinely-new docs never flagged
     assert not set(fresh["doc_id"]) & set(got["doc_id"])
+
+
+def test_dedup_against_corpus_survives_lo_half_collision(monkeypatch):
+    """The in-bucket match compares the FULL 128-bit pair: force every
+    doc to collide in the low 64 bits and distinct texts must still
+    neither cross-drop nor merge (the r3/r4 advisory's widening)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import parallel_dataflow_ray.functions.text as textmod
+    from parallel_dataflow_ray.stages.dedup import dedup_against_corpus
+
+    real = textmod.fingerprint128
+
+    def all_lo_collide(texts):
+        _lo, hi = real(texts)
+        return np.zeros(len(texts), np.int64), hi
+
+    monkeypatch.setattr(textmod, "fingerprint128", all_lo_collide)
+    new = pd.DataFrame({"doc_id": np.int64([10, 11, 12, 13]),
+                        "text": ["in corpus", "fresh a", "fresh a",
+                                 "fresh b"]})
+    corpus = pd.DataFrame({"doc_id": np.int64([1]), "text": ["in corpus"]})
+    out = dedup_against_corpus(
+        rd.from_pandas(new), rd.from_pandas(corpus)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [11, 13]
+    assert out["n_dups"].tolist() == [2, 1]
+
+
+def test_dedup_lines_c4_semantics():
+    """C4 line dedup on real multi-line docs: first (doc_id, line_no)
+    occurrence survives, later ones are struck, order preserved, and a
+    doc made entirely of seen lines comes back empty."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.dedup import dedup_lines
+
+    df = pd.DataFrame({
+        "doc_id": np.int64([1, 2, 3, 4]),
+        "text": ["alpha\nboiler\nbeta",       # all first occurrences
+                 "boiler\ngamma\nalpha",      # boiler+alpha struck
+                 "alpha\nboiler",             # fully struck -> ''
+                 None]})                      # null -> one '' line
+    out = dedup_lines(rd.from_pandas(df).repartition(3), num_buckets=4
+                      ).to_pandas().sort_values("doc_id",
+                                                ignore_index=True)
+    assert out["text_dedup"].tolist() == [
+        "alpha\nboiler\nbeta", "gamma", "", ""]
+    assert out["n_lines"].tolist() == [3, 3, 2, 1]
+    assert out["n_removed_lines"].tolist() == [0, 2, 2, 0]
+    # partition invariance of the survivor choice
+    out2 = dedup_lines(rd.from_pandas(df).repartition(1), num_buckets=16
+                       ).to_pandas().sort_values("doc_id",
+                                                 ignore_index=True)
+    pd.testing.assert_frame_equal(out, out2)

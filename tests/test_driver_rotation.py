@@ -24,7 +24,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # round-4's 36 pending names all went driver-green in CORRECTNESS_r04 and
 # were pruned here (VERDICT r4 item 1).  Add round-5 queries below as they
 # land; prune again once CORRECTNESS_r05.json covers them.
-PENDING_FIRST_DRIVER_WINDOW: set[str] = set()
+PENDING_FIRST_DRIVER_WINDOW: set[str] = {
+    # round-5 additions awaiting their first driver window
+    "pagerank_orders_delta", "dedup_lines_docs",
+}
 
 
 def _driver_green() -> dict[str, list[str]]:

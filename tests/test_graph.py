@@ -84,3 +84,65 @@ def test_sink_nodes_contribute_nothing(ray_session):
     got = _run(e, iters=2, num_buckets=4)
     want = _local_twin(e, iters=2).sort_values("node", ignore_index=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+# --------------------------------------------------------------------------
+# delta/frontier path (round 5): worklist semantics, bit-identical
+# --------------------------------------------------------------------------
+
+def _run_delta(edges_df: pd.DataFrame, stats=None, **kw) -> pd.DataFrame:
+    from parallel_dataflow_ray.stages.graph import pagerank_delta
+
+    ds = rd.from_pandas(edges_df).repartition(7)
+    out = pagerank_delta(ds, round_stats=stats, **kw).to_pandas()
+    return out.sort_values("node", ignore_index=True)
+
+
+def test_delta_matches_dense_and_twin(ray_session):
+    e = _edges()
+    want = _local_twin(e, iters=4).sort_values("node", ignore_index=True)
+    got = _run_delta(e, iters=4, num_buckets=8)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_delta_partition_invariance(ray_session):
+    e = _edges(seed=5)
+    a = _run_delta(e, iters=3, num_buckets=4)
+    b = _run_delta(e, iters=3, num_buckets=16)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_delta_frontier_shrinks_and_early_exits(ray_session):
+    """On a convergent graph the quantized contributions freeze, the
+    frontier shrinks to empty, and the loop exits at the EXACT fixpoint
+    — extra dense rounds change nothing (worklist semantics,
+    impls/src/parallel.rs:48-56)."""
+    # star + chain: tiny graph converges in a handful of rounds
+    e = pd.DataFrame({
+        "src": np.int64([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]),
+        "dst": np.int64([0, 0, 0, 0, 0, 1, 2, 3, 4, 5])})
+    stats: list = []
+    got = _run_delta(e, iters=100, num_buckets=4, stats=stats)
+    fronts = [r["frontier_nodes"] for r in stats]
+    assert fronts[-1] == 0                  # reached the exact fixpoint
+    assert len(fronts) < 100                # ...well before the bound
+    # monotone-ish shrink: every later round ships no more than round 0
+    assert max(fronts[1:]) <= fronts[0]
+    # shipped_rows is the real exchange size and also hits zero
+    assert stats[-1]["shipped_rows"] == 0
+    # and the early-exited result equals the dense run at the full bound
+    want = _local_twin(e, iters=100).sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_delta_smb_layout_same_result(ray_session, tmp_path):
+    from parallel_dataflow_ray.stages.graph import pagerank_delta
+
+    e = _edges(seed=9, n_nodes=40, n_edges=200)
+    plain = _run_delta(e, iters=3, num_buckets=8)
+    ds = rd.from_pandas(e).repartition(5)
+    smb = pagerank_delta(ds, iters=3, num_buckets=8,
+                         edges_layout=str(tmp_path / "pr_edges")
+                         ).to_pandas().sort_values("node",
+                                                   ignore_index=True)
+    pd.testing.assert_frame_equal(plain, smb)
