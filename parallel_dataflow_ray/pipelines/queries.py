@@ -1890,13 +1890,22 @@ class PlantAudioVariants:
         self.every = int(every)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.audio import decode_clip, encode_ulaw
+        from ..functions.audio import encode_ulaw
+        from ..stages.audio_prep import decode_flat
 
         keep = t.to_pandas()
         planted = keep[keep["offset"] % self.every == 0].copy()
-        planted["bytes"] = [
-            encode_ulaw(0.7 * decode_clip(b, c))
-            for b, c in zip(planted["bytes"], planted["codec"])]
+        if len(planted):
+            # batch codecs: ONE flat decode + ONE gain + ONE mu-law
+            # companding pass over the joined samples (both codecs are
+            # sample-wise maps; ulaw is 1 byte/sample so the per-clip
+            # re-slice is a memcpy, not a decode)
+            flat, lens, off = decode_flat(planted["bytes"].tolist(),
+                                          planted["codec"].tolist())
+            view = memoryview(encode_ulaw(0.7 * flat))
+            planted["bytes"] = [
+                bytes(view[int(s):int(s) + int(n)])
+                for s, n in zip(off, lens)]
         planted["codec"] = "ulaw"
         planted["clip_id"] = planted["clip_id"] + "-v"
         planted["offset"] = planted["offset"] + 100_000

@@ -182,27 +182,53 @@ def revoke_sink_epochs_after(sink_root: str, epoch: int) -> int:
         if not drop:
             continue
         folded = [e for e in drop if manifest["epochs"][e].get("compacted")]
+        removed_files: list[str] = []
         if folded:
-            # a compacted epoch's rows live merged inside consolidated
-            # files — they cannot be revoked row-exactly.  Refuse loudly
-            # rather than silently duplicating output: compaction is a
-            # maintenance pass for epochs that will never be replayed
-            # (same-P resume is unaffected — commit dedup keys off the
-            # manifest entry, which survives compaction)
-            raise RuntimeError(
-                f"cannot rescale past compacted epochs {sorted(folded)} "
-                f"in {fn}: compact only streams that will not be "
-                f"rescale-resumed beyond their last checkpoint")
+            # compacted epochs' rows live merged inside consolidated
+            # files, but in EPOCH ORDER (compact folds epochs sorted
+            # and successive compactions append later epochs in seq
+            # order — the same invariant read_as_of's prefix reads rely
+            # on).  So the revoked epochs' rows are an exact SUFFIX of
+            # the compacted chain: keep the prefix of length
+            # sum(rows of compacted epochs <= epoch), truncating the
+            # boundary file row-exactly.  Ordering mirrors compact():
+            # (1) write the truncated replacement under a NEW name via
+            # tmp+fsync+rename, (2) atomically rewrite the manifest,
+            # (3) only then delete dropped files — a crash in between
+            # leaves orphans, never a wrong read (readers are
+            # manifest-driven).
+            import pyarrow.parquet as _pq
+
+            keep_rows = sum(
+                int(rec["rows"]) for e_s, rec in manifest["epochs"].items()
+                if int(e_s) <= epoch and rec.get("compacted"))
+            data_dir = os.path.join(sink_root, "data")
+            new_list: list[str] = []
+            acc = 0
+            for cf in manifest.get("compacted", []):
+                fp = os.path.join(data_dir, cf)
+                nrows = _pq.read_metadata(fp).num_rows
+                if acc + nrows <= keep_rows:
+                    new_list.append(cf)
+                    acc += nrows
+                    continue
+                if acc < keep_rows:
+                    part = _pq.read_table(fp).slice(0, keep_rows - acc)
+                    nf = (cf.rsplit(".", 1)[0]
+                          + f"-trunc{epoch:06d}.parquet")
+                    tmp = os.path.join(data_dir, nf) + ".tmp"
+                    _pq.write_table(part, tmp)
+                    with open(tmp, "rb+") as tf:
+                        os.fsync(tf.fileno())
+                    os.rename(tmp, os.path.join(data_dir, nf))
+                    new_list.append(nf)
+                    acc = keep_rows
+                removed_files.append(cf)
+            manifest["compacted"] = new_list
         for e in drop:
             frag = manifest["epochs"][e].get("fragment")
             if frag:
-                fp = os.path.join(sink_root, "data", frag)
-                if os.path.exists(fp):
-                    if os.path.isdir(fp):
-                        import shutil
-                        shutil.rmtree(fp)
-                    else:
-                        os.remove(fp)
+                removed_files.append(frag)
             del manifest["epochs"][e]
             revoked += 1
         tmp = path + ".tmp"
@@ -211,4 +237,14 @@ def revoke_sink_epochs_after(sink_root: str, epoch: int) -> int:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, path)
+        # delete only AFTER the manifest rename: a crash mid-revoke
+        # leaves orphan files (harmless), never a manifest entry whose
+        # file is gone
+        for rf in removed_files:
+            fp = os.path.join(sink_root, "data", rf)
+            if os.path.isdir(fp):
+                import shutil
+                shutil.rmtree(fp)
+            elif os.path.exists(fp):
+                os.remove(fp)
     return revoked

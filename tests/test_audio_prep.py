@@ -974,3 +974,21 @@ def test_transcode_clips_size_and_snr(ray_session):
     was16 = np.array(head["codec"].to_pylist()) == "pcm16"
     assert (same["snr_milli_db"][was16] > 1e12).all()
     assert (same["snr_milli_db"][~was16] >= 60_000).all()
+
+
+def test_plant_variants_flat_codec_bit_identical():
+    """The vectorized flat-decode + one-pass mu-law plant (r5) is
+    BYTE-identical to the per-row decode/encode it replaced."""
+    from parallel_dataflow_ray.functions.audio import (
+        decode_clip, encode_ulaw)
+    from parallel_dataflow_ray.pipelines.queries import PlantAudioVariants
+
+    base = clips_table(60, seed=7)
+    out = PlantAudioVariants(every=5)(base).to_pandas()
+    planted = out[out["clip_id"].str.endswith("-v")]
+    assert len(planted) > 0
+    originals = out.set_index("offset")
+    for _, row in planted.iterrows():
+        src = originals.loc[row["offset"] - 100_000]
+        want = encode_ulaw(0.7 * decode_clip(src["bytes"], src["codec"]))
+        assert row["bytes"] == want

@@ -2,16 +2,16 @@
 
 The small-files maintenance pass must preserve the exactly-once read
 set bit-for-bit, stay idempotent, keep same-P resume working (commit
-dedup keys off manifest entries, which survive compaction), and refuse
-the one unsafe interaction (rescale-revoking epochs whose rows were
-folded into consolidated files).
+dedup keys off manifest entries, which survive compaction), and keep
+rescale-revocation exact even for epochs whose rows were folded into
+consolidated files (epoch-prefix truncation of the compacted chain —
+round-5 closure of the one previously-refused interaction).
 """
 
 from __future__ import annotations
 
 import os
 
-import pytest
 
 from parallel_dataflow_ray import fixtures
 from parallel_dataflow_ray.streaming import (
@@ -82,14 +82,36 @@ def test_resume_after_compaction_same_p(tmp_path):
     assert _sink_rows(tmp_path / "sink") == canonical_sort(rows)
 
 
-def test_rescale_past_compacted_epochs_refused(tmp_path):
-    # crash at epoch 4 with checkpoints at {1, 3}: epoch 4's commit is
-    # PAST the resumable checkpoint, so a rescale must revoke it — but
-    # compaction folded its rows into consolidated files -> refuse
+def test_rescale_after_compaction_exactly_once(tmp_path):
+    """Crash at epoch 4 with checkpoints at {1, 3}: epoch 4's commit is
+    PAST the resumable checkpoint, so the rescale must revoke it — and
+    compaction already folded its rows into consolidated files.  The
+    revoke truncates the compacted chain row-exactly via the manifest's
+    per-epoch lineage (rows live in epoch order — the same invariant
+    read_as_of relies on), so crash -> compact -> rescale-resume still
+    equals the oracle."""
+    epochs = _epochs()
     _run(tmp_path, stop_after_epoch=4)
     ExactlyOnceSink.compact(str(tmp_path / "sink"))
-    with pytest.raises(RuntimeError, match="compacted"):
-        _run(tmp_path, p=2)
+    res = _run(tmp_path, p=2)
+    assert res["start_epoch"] > 0          # resumed, not replayed-from-0
+    rows, _ = OracleExecutor("window", _kw(), LATENESS_US).run(epochs)
+    assert _sink_rows(tmp_path / "sink") == canonical_sort(rows)
+
+
+def test_rescale_after_two_compaction_generations(tmp_path):
+    """Same, but with a second generation: crash, compact, run SAME P a
+    bit further, compact again (second consolidated file), crash again,
+    then rescale — the prefix arithmetic must span generations."""
+    epochs = _epochs()
+    _run(tmp_path, stop_after_epoch=4)
+    ExactlyOnceSink.compact(str(tmp_path / "sink"))
+    _run(tmp_path, stop_after_epoch=6)
+    ExactlyOnceSink.compact(str(tmp_path / "sink"))
+    res = _run(tmp_path, p=3)
+    assert res["start_epoch"] > 0
+    rows, _ = OracleExecutor("window", _kw(), LATENESS_US).run(epochs)
+    assert _sink_rows(tmp_path / "sink") == canonical_sort(rows)
 
 
 def test_read_stream_output_dataset(tmp_path, ray_session):
