@@ -4586,3 +4586,41 @@ ORACLE_SQL["pagerank_orders_delta"] = ORACLE_SQL["pagerank_orders"]
 def flagship_entry():
     """Driver smoke entry: flagship streaming pipeline at sf0.001."""
     return stream_audio_energy("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# round-5 driver-window rotation (VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS sweep records exactly the FIRST 50 registry
+# entries, so the head-50 is a rotating audit window.  48 of round 4's
+# head were (re-)verified in CORRECTNESS_r04; round 5's window =
+# the 2 new r5 queries + the 48 longest-stale gated entries (last
+# driver-green in r02/r03), statically computed from the recorded
+# CORRECTNESS_r01..r04 files.  Remaining gated entries keep their
+# previous relative order ahead of the rows-only tail
+# (test_registry_order enforces the invariant; test_driver_rotation
+# enforces that every gated query stays green in SOME recorded round).
+_R5_HEAD = [
+    "dedup_lines_docs", "pagerank_orders_delta", "sort_events",
+    "lang_count", "stratified_docs", "bpe_token_stats",
+    "broadcast_region_count", "session_events", "tumbling_events",
+    "sliding_events", "union_orders", "sample_docs",
+    "reservoir_docs", "distinct_event_types", "ann_self_topk",
+    "quantiles_lineitem", "heavy_bigrams", "distinct_users_by_type",
+    "filter_high_value", "topk_users_hourly", "chunk_docs",
+    "source_mixture", "knn_topk", "embedding_neardup",
+    "neardup_clusters", "pack_token_shards", "dedup_incremental_docs",
+    "decontaminate_docs_bloom", "funnel_events", "stream_funnel_events",
+    "kleene_funnel_events", "exact_dedup_docs", "anti_join_customers",
+    "left_join_customer_orders", "outer_join_user_activity", "topk_orders",
+    "props_k_by_type", "scrub_props", "running_user_totals",
+    "pivot_event_counts", "stream_sliding_events", "stream_session_events",
+    "funnel_no_error_events", "user_event_sequences", "token_stats",
+    "split_docs", "balanced_docs", "docs_quality",
+    "langid_docs", "ngram_jaccard_neardup",
+]
+assert len(_R5_HEAD) == 50 and len(set(_R5_HEAD)) == 50
+_rest_gated = [n for n in QUERIES
+               if n in ORACLE_SQL and n not in set(_R5_HEAD)]
+_rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
+QUERIES = {n: QUERIES[n] for n in (*_R5_HEAD, *_rest_gated, *_rows_only)}

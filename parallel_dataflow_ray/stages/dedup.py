@@ -295,8 +295,12 @@ def components_labels(pairs: rd.Dataset, *, id_a: str = "id_a",
             lambda b: pd.DataFrame({"node": b["node"], "label": b["label"],
                                     "__old": b["label"]}),
             batch_format="pandas")
-        new = bucketed_groupby(msgs.union(own), ["node"],
-                               fold_round).materialize()
+        # snap_lineage, not materialize(): the round plan carries a
+        # union + bucket_join, and a retained logical-plan chain
+        # compounds driver cost ~1.8x/round (see relational.snap_lineage)
+        from .relational import snap_lineage
+        new = snap_lineage(bucketed_groupby(msgs.union(own), ["node"],
+                                            fold_round))
         changed = int(new.map_batches(
             lambda b: pd.DataFrame({"c": [int(b["__chg"].sum())]}),
             batch_format="pandas").to_pandas()["c"].sum())
