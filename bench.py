@@ -72,6 +72,8 @@ BATCH_QUERIES = [
     "stream_cms_watch_clips", "group_split_docs", "pq_topk_embeddings",
     "bigram_logprob_docs", "ivfpq_topk_embeddings", "bm25_topk_docs",
     "compress_ratio_docs",
+    # round-5 additions
+    "pagerank_orders_delta", "dedup_lines_docs",
 ]
 
 
