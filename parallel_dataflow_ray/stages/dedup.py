@@ -39,14 +39,23 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     """Keep the smallest id per identical text. Returns (doc_id, n_dups
     [, *carry]) — ``carry`` columns ride along with the winning row
     through the one fingerprint shuffle, so callers that need the
-    survivor's attributes don't pay a second scan + re-join."""
+    survivor's attributes don't pay a second scan + re-join.
 
+    Dup identity is the 128-bit fingerprint (two independent
+    SipHash-64 passes, round-5 widening — 2^-64 collisions are
+    birthday-material near ~2^32 docs, i.e. AT the 10^12-doc design
+    point); bucketing stays on the low half (128-bit-equal rows are
+    64-bit-equal, so every true dup family still co-locates), the
+    in-bucket group key is the full pair."""
+
+    from ..functions.text import fingerprint128
     from .relational import bucketed_groupby
 
     carry = carry or []
 
     def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
-        cols = {id_col: batch[id_col], "__fp": fingerprint64(batch[text_col])}
+        lo, hi = fingerprint128(batch[text_col])
+        cols = {id_col: batch[id_col], "__fp": lo, "__fp2": hi}
         for c in carry:
             cols[c] = batch[c]
         return pd.DataFrame(cols)
@@ -56,10 +65,11 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
         # position-first, NOT groupby agg "first" (which skips NaN and
         # would silently pull a null carry value from the next group
         # member instead of the winning row)
-        win = g.drop_duplicates("__fp", keep="first")
-        sz = g.groupby("__fp", sort=False).size()
+        win = g.drop_duplicates(["__fp", "__fp2"], keep="first")
+        sz = g.groupby(["__fp", "__fp2"], sort=False).size()
         out = win.copy()
-        out["n_dups"] = sz.loc[win["__fp"]].to_numpy(np.int64)
+        out["n_dups"] = sz.loc[pd.MultiIndex.from_frame(
+            win[["__fp", "__fp2"]])].to_numpy(np.int64)
         return out[[id_col, "n_dups", *carry]]
 
     fps = ds.map_batches(add_fp, batch_format="pandas")
