@@ -74,6 +74,7 @@ BATCH_QUERIES = [
     "compress_ratio_docs",
     # round-5 additions
     "pagerank_orders_delta", "dedup_lines_docs",
+    "dedup_lines_incremental_docs",
 ]
 
 

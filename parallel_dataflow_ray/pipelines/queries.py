@@ -1573,6 +1573,26 @@ def dedup_lines_docs(sf_dir: str):
     return dedup_lines(ds, delimiter=" table ")
 
 
+def dedup_lines_incremental_docs(sf_dir: str):
+    """INCREMENTAL C4 line dedup (the ingest form), oracle-gated
+    hash-exact: even-id docs play the arriving crawl shard, odd-id
+    docs the existing corpus — every shard line already present
+    anywhere in the corpus is struck, then first-(doc_id,line_no)-wins
+    within the shard.  One side-tagged fingerprint exchange; corpus
+    text never moves (``stages/dedup.py::dedup_lines(corpus=...)``)."""
+    from ..stages.dedup import dedup_lines
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _parity(want: int):
+        return lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), want))
+
+    new = ds.map_batches(_parity(0), batch_format="pyarrow")
+    corpus = ds.map_batches(_parity(1), batch_format="pyarrow")
+    return dedup_lines(new, corpus=corpus, delimiter=" table ")
+
+
 def stream_topk_event_types(sf_dir: str):
     """Grouped streaming top-k through the ENGINE: per (user, tumbling
     day) the 2 most frequent event types, ties broken ascending by
@@ -3004,6 +3024,7 @@ QUERIES = {
     "group_split_docs": group_split_docs,
     "scrub_dup_spans_docs": scrub_dup_spans_docs,
     "dedup_lines_docs": dedup_lines_docs,
+    "dedup_lines_incremental_docs": dedup_lines_incremental_docs,
     "curate_neardup_docs": curate_neardup_docs,
     "decontaminate_docs": decontaminate_docs,
     # round-4 final-session additions — admitted by rotating r3-green
@@ -3721,6 +3742,27 @@ SELECT doc_id,
                 FILTER (WHERE rn = 1), '') AS text_dedup,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed_lines
+FROM k GROUP BY doc_id
+""",
+    # incremental C4 line dedup: corpus (odd docs) lines strike shard
+    # (even docs) lines; first-occurrence-wins within the shard
+    "dedup_lines_incremental_docs": """
+WITH tn AS (SELECT doc_id, string_split(COALESCE(text, ''), ' table ') AS ls
+            FROM documents WHERE doc_id % 2 = 0),
+tc AS (SELECT string_split(COALESCE(text, ''), ' table ') AS ls
+       FROM documents WHERE doc_id % 2 = 1),
+l AS (SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) AS ln FROM tn),
+cl AS (SELECT DISTINCT unnest(ls) AS line FROM tc),
+k AS (SELECT l.*, (l.line IN (SELECT line FROM cl)) AS in_corpus,
+             ROW_NUMBER() OVER (PARTITION BY l.line
+                                ORDER BY l.doc_id, l.ln) AS rn FROM l)
+SELECT doc_id,
+       COALESCE(string_agg(line, ' table ' ORDER BY ln)
+                FILTER (WHERE rn = 1 AND NOT in_corpus), '') AS text_dedup,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE rn > 1 OR in_corpus) AS BIGINT)
+         AS n_removed_lines
 FROM k GROUP BY doc_id
 """,
     # the scrub twin: covered token positions via UNNEST(range) over
@@ -4601,7 +4643,8 @@ def flagship_entry():
 # (test_registry_order enforces the invariant; test_driver_rotation
 # enforces that every gated query stays green in SOME recorded round).
 _R5_HEAD = [
-    "dedup_lines_docs", "pagerank_orders_delta", "sort_events",
+    "dedup_lines_docs", "dedup_lines_incremental_docs",
+    "pagerank_orders_delta", "sort_events",
     "lang_count", "stratified_docs", "bpe_token_stats",
     "broadcast_region_count", "session_events", "tumbling_events",
     "sliding_events", "union_orders", "sample_docs",
@@ -4617,7 +4660,7 @@ _R5_HEAD = [
     "pivot_event_counts", "stream_sliding_events", "stream_session_events",
     "funnel_no_error_events", "user_event_sequences", "token_stats",
     "split_docs", "balanced_docs", "docs_quality",
-    "langid_docs", "ngram_jaccard_neardup",
+    "langid_docs",
 ]
 assert len(_R5_HEAD) == 50 and len(set(_R5_HEAD)) == 50
 _rest_gated = [n for n in QUERIES

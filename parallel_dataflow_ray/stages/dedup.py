@@ -1507,7 +1507,8 @@ def embedding_neardup_lsh(ds: rd.Dataset, threshold: float, *,
 # C4-style line-level cross-corpus dedup (Raffel et al. 2020, public recipe)
 # ---------------------------------------------------------------------------
 
-def dedup_lines(ds: rd.Dataset, *, delimiter: str = "\n",
+def dedup_lines(ds: rd.Dataset, *, corpus: rd.Dataset | None = None,
+                delimiter: str = "\n",
                 text_col: str = "text", id_col: str = "doc_id",
                 num_buckets: int = 64) -> rd.Dataset:
     """LINE-granularity dedup across the whole corpus — the C4 recipe
@@ -1539,6 +1540,17 @@ def dedup_lines(ds: rd.Dataset, *, delimiter: str = "\n",
     line_nos, and re-joins.  Decision-by-fingerprint: a false merge
     needs a 2^-128 collision.
 
+    ``corpus``: the INCREMENTAL ingest form (the C4 recipe applied at
+    crawl-shard arrival): every line already present ANYWHERE in the
+    corpus is struck from every shard doc, and within the shard the
+    usual first-occurrence-wins applies.  Corpus lines ship as
+    per-batch-distinct fingerprints only (side-tagged into the same
+    single exchange); corpus text never moves and the corpus is never
+    rebuilt — output covers the shard docs only (shard ids must
+    be non-negative: -1 is the corpus sentinel, and its sort
+    position before any real id turns a corpus hit into a strike
+    through the same keep-first pass).
+
     Reference analog: the first-definition-wins merge of ReachingDefs
     (passes/src/reaching_defs.rs:38-60) applied per line instead of
     per definition."""
@@ -1557,18 +1569,34 @@ def dedup_lines(ds: rd.Dataset, *, delimiter: str = "\n",
             "__ln": (ex.groupby(level=0).cumcount() + 1)
             .to_numpy(np.int64)})
 
+    def corpus_explode(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].fillna("").str.split(delimiter).explode()
+        lo, hi = fingerprint128(ex.reset_index(drop=True))
+        out = pd.DataFrame({"__lo": lo, "__hi": hi,
+                            id_col: np.int64(-1),
+                            "__ln": np.int64(-1)})
+        # per-batch distinct bounds what ships; -1 sentinels sort
+        # FIRST within a (lo, hi) group, so a corpus hit makes every
+        # shard occurrence a non-survivor via the same keep="first"
+        return out.drop_duplicates(["__lo", "__hi"])
+
+    lines = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas", batch_size=1024)
+    if corpus is not None:
+        lines = lines.union(
+            corpus.select_columns([id_col, text_col]).map_batches(
+                corpus_explode, batch_format="pandas", batch_size=1024))
+
     def non_survivors(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["__lo", "__hi", id_col, "__ln"],
                           kind="mergesort")
         loser = g.duplicated(["__lo", "__hi"], keep="first")
-        out = g.loc[loser, [id_col, "__ln"]].copy()
+        out = g.loc[loser & (g[id_col] >= 0), [id_col, "__ln"]].copy()
         out["__side"] = np.int8(1)
         return out
 
-    marks = bucketed_groupby(
-        ds.select_columns([id_col, text_col]).map_batches(
-            explode, batch_format="pandas", batch_size=1024),
-        ["__lo"], non_survivors, num_buckets=num_buckets)
+    marks = bucketed_groupby(lines, ["__lo"], non_survivors,
+                             num_buckets=num_buckets)
 
     def doc_side(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({id_col: b[id_col].to_numpy(np.int64),

@@ -434,3 +434,28 @@ def test_dedup_lines_c4_semantics():
                        ).to_pandas().sort_values("doc_id",
                                                  ignore_index=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_dedup_lines_incremental_corpus_mode():
+    """Ingest form: corpus lines strike shard lines everywhere; within
+    the shard, first occurrence wins; corpus never appears in output."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallel_dataflow_ray.stages.dedup import dedup_lines
+
+    shard = pd.DataFrame({
+        "doc_id": np.int64([10, 12]),
+        "text": ["boiler\nfresh a\nfresh b", "fresh a\nother"]})
+    corpus = pd.DataFrame({
+        "doc_id": np.int64([1, 3]),
+        "text": ["boiler\nlegal", "legal\nboiler"]})
+    out = dedup_lines(rd.from_pandas(shard).repartition(2),
+                      corpus=rd.from_pandas(corpus).repartition(2),
+                      num_buckets=4).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [10, 12]
+    assert out["text_dedup"].tolist() == ["fresh a\nfresh b", "other"]
+    assert out["n_lines"].tolist() == [3, 2]
+    assert out["n_removed_lines"].tolist() == [1, 1]

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # land; prune again once CORRECTNESS_r05.json covers them.
 PENDING_FIRST_DRIVER_WINDOW: set[str] = {
     # round-5 additions awaiting their first driver window
-    "pagerank_orders_delta", "dedup_lines_docs",
+    "pagerank_orders_delta", "dedup_lines_docs", "dedup_lines_incremental_docs",
 }
 
 
