@@ -103,10 +103,9 @@ def fingerprint128(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     in 128 bits are equal in ``lo``, so bucketing by ``lo`` co-locates
     every true duplicate pair while the in-bucket match compares both
     halves."""
-    base = texts.fillna("").to_numpy(dtype=object)
-    lo = pd.util.hash_array(base, hash_key="graft-paralleldf",
-                            categorize=False).view(np.int64)
-    hi = pd.util.hash_array(base, hash_key="graft-parallel2d",
+    lo = fingerprint64(texts)       # same key: lo stays in lockstep
+    hi = pd.util.hash_array(texts.fillna("").to_numpy(dtype=object),
+                            hash_key="graft-parallel2d",
                             categorize=False).view(np.int64)
     return lo, hi
 

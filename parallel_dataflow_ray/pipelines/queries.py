@@ -2555,17 +2555,11 @@ def pca_embeddings(sf_dir: str):
     return pca_transform(ds, mean, comps)
 
 
-def pagerank_orders(sf_dir: str):
-    """Iterative numeric fixpoint, oracle-gated: integer-exact PageRank
-    (3 rounds) over the customer<->supplier bipartite graph (one edge
-    per lineitem, both directions; supplier ids offset by 1e9).  Every
-    iteration is pure int64 arithmetic (floor-division contributions,
-    quantized mass — see ``stages/graph.py``), so the distributed run
-    hash-matches the unrolled-CTE DuckDB twin EXACTLY — the Ray
-    restatement of the reference's frontier-batched fixpoint executor
-    (impls/src/parallel.rs:14-91)."""
-    from ..stages.graph import pagerank
-
+def _order_supplier_edges(sf_dir: str):
+    """The customer<->supplier bipartite edge table all three PageRank
+    plans share (one edge per lineitem, both directions; supplier ids
+    offset by 1e9) — ONE construction so 'one oracle gates three
+    exchange plans' stays true by code structure, not discipline."""
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey"])
     li = read_table(sf_dir, "lineitem",
@@ -2579,8 +2573,21 @@ def pagerank_orders(sf_dir: str):
         return pd.DataFrame({"src": np.concatenate([c, sup]),
                              "dst": np.concatenate([sup, c])})
 
-    edges = j.map_batches(both_dirs, batch_format="pandas")
-    return pagerank(edges, iters=3, num_buckets=32)
+    return j.map_batches(both_dirs, batch_format="pandas")
+
+
+def pagerank_orders(sf_dir: str):
+    """Iterative numeric fixpoint, oracle-gated: integer-exact PageRank
+    (3 rounds) over the customer<->supplier bipartite graph.  Every
+    iteration is pure int64 arithmetic (floor-division contributions,
+    quantized mass — see ``stages/graph.py``), so the distributed run
+    hash-matches the unrolled-CTE DuckDB twin EXACTLY — the Ray
+    restatement of the reference's frontier-batched fixpoint executor
+    (impls/src/parallel.rs:14-91)."""
+    from ..stages.graph import pagerank
+
+    return pagerank(_order_supplier_edges(sf_dir), iters=3,
+                    num_buckets=32)
 
 
 def pagerank_orders_smb(sf_dir: str):
@@ -2596,24 +2603,10 @@ def pagerank_orders_smb(sf_dir: str):
 
     from ..stages.graph import pagerank
 
-    orders = read_table(sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey"])
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_suppkey"])
-    j = rel.bucket_join(orders, li, on="o_orderkey",
-                        right_on="l_orderkey", num_buckets=32)
-
-    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
-        c = b["o_custkey"].to_numpy(np.int64)
-        sup = 1_000_000_000 + b["l_suppkey"].to_numpy(np.int64)
-        return pd.DataFrame({"src": np.concatenate([c, sup]),
-                             "dst": np.concatenate([sup, c])})
-
-    edges = j.map_batches(both_dirs, batch_format="pandas")
     layout = tempfile.mkdtemp(prefix="pagerank_smb_", dir="/tmp")
     try:
-        out = pagerank(edges, iters=3, num_buckets=32,
-                       edges_layout=layout).materialize()
+        out = pagerank(_order_supplier_edges(sf_dir), iters=3,
+                       num_buckets=32, edges_layout=layout).materialize()
     finally:
         shutil.rmtree(layout, ignore_errors=True)
     return out
@@ -2637,25 +2630,11 @@ def pagerank_orders_delta(sf_dir: str):
 
     from ..stages.graph import pagerank_delta
 
-    orders = read_table(sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey"])
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_suppkey"])
-    j = rel.bucket_join(orders, li, on="o_orderkey",
-                        right_on="l_orderkey", num_buckets=32)
-
-    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
-        c = b["o_custkey"].to_numpy(np.int64)
-        sup = 1_000_000_000 + b["l_suppkey"].to_numpy(np.int64)
-        return pd.DataFrame({"src": np.concatenate([c, sup]),
-                             "dst": np.concatenate([sup, c])})
-
-    edges = j.map_batches(both_dirs, batch_format="pandas")
     layout = tempfile.mkdtemp(prefix="pagerank_delta_", dir="/tmp")
     stats: list = []
     try:
-        out = pagerank_delta(edges, iters=3, num_buckets=32,
-                             edges_layout=layout,
+        out = pagerank_delta(_order_supplier_edges(sf_dir), iters=3,
+                             num_buckets=32, edges_layout=layout,
                              round_stats=stats).materialize()
     finally:
         shutil.rmtree(layout, ignore_errors=True)

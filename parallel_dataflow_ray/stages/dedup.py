@@ -1559,18 +1559,30 @@ def dedup_lines(ds: rd.Dataset, *, corpus: rd.Dataset | None = None,
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)
-        ls = b[text_col].fillna("").str.split(delimiter)
+        ids = b[id_col].to_numpy(np.int64)
+        if len(ids) and ids.min() < 0:
+            # -1 is the corpus sentinel; a negative real id would
+            # silently act as one (its lines would strike everyone
+            # else's) — refuse loudly instead
+            raise ValueError(
+                f"dedup_lines requires non-negative {id_col} values "
+                f"(got min {ids.min()})")
+        # regex=False: pandas treats a multi-char pat as a REGEX by
+        # default, which would disagree with rebuild's literal
+        # str.split for delimiters containing metachars ('|', '.')
+        ls = b[text_col].fillna("").str.split(delimiter, regex=False)
         ex = ls.explode()
         pos = ex.index.to_numpy()
         lo, hi = fingerprint128(ex.reset_index(drop=True))
         return pd.DataFrame({
             "__lo": lo, "__hi": hi,
-            id_col: b[id_col].to_numpy(np.int64)[pos],
+            id_col: ids[pos],
             "__ln": (ex.groupby(level=0).cumcount() + 1)
             .to_numpy(np.int64)})
 
     def corpus_explode(b: pd.DataFrame) -> pd.DataFrame:
-        ex = b[text_col].fillna("").str.split(delimiter).explode()
+        ex = b[text_col].fillna("").str.split(delimiter,
+                                              regex=False).explode()
         lo, hi = fingerprint128(ex.reset_index(drop=True))
         out = pd.DataFrame({"__lo": lo, "__hi": hi,
                             id_col: np.int64(-1),

@@ -24,6 +24,23 @@ def _stack(batch: pd.DataFrame, vec_col: str) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _topk_quantized(cm: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-``k`` by (cm desc, id asc) — the quantized,
+    partition-invariant selection key — at argpartition cost: O(n)
+    partition to the k boundary, widen the candidate set by
+    boundary-value ties, lexsort ONLY the candidates.  Equivalent to
+    ``np.lexsort((ids, -cm))[:k]`` (the all-tied batch degenerates to
+    that) without paying O(n log n) on the ADC hot path."""
+    n = len(cm)
+    if k >= n:
+        return np.lexsort((ids, -cm))
+    part = np.argpartition(-cm, k - 1)[:k]
+    thr = cm[part].min()
+    cand = np.nonzero(cm >= thr)[0]
+    order = np.lexsort((ids[cand], -cm[cand]))
+    return cand[order[:k]]
+
+
 def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      exclude_self: bool = True) -> pd.DataFrame:
@@ -784,7 +801,7 @@ def pq_topk(code_ds: rd.Dataset, queries: np.ndarray, k: int,
             cm_all = np.rint(cos * 1000).astype(np.int64)
             for qi in range(nq):
                 cm = cm_all[qi]
-                sel = np.lexsort((ids, -cm))[:kk]
+                sel = _topk_quantized(cm, ids, kk)
                 rows.append(pd.DataFrame({
                     "query_id": np.int64(qi),
                     id_col: ids[sel],
@@ -945,7 +962,7 @@ def ivfpq_topk(ds: rd.Dataset, code_ds: rd.Dataset, queries: np.ndarray,
                 # partition-invariant at milli-boundary ties
                 cm = np.rint(cos * 1000).astype(np.int64)
                 sids = ids[sel]
-                top = np.lexsort((sids, -cm))[:kq]
+                top = _topk_quantized(cm, sids, kq)
                 out.append(pd.DataFrame({
                     "query_id": np.int64(qi), id_col: sids[top],
                     "cos_milli": cm[top]}))

@@ -49,12 +49,17 @@ class CheckpointStore:
         _atomic_write(os.path.join(self.dir, f"e{epoch:06d}.ckpt"), payload)
         _atomic_write(os.path.join(self.dir, "LATEST"), str(epoch).encode())
 
-    def latest_epoch(self) -> int | None:
-        p = os.path.join(self.dir, "LATEST")
+    @staticmethod
+    def _read_latest(part_dir: str) -> int | None:
+        """Read-only LATEST parse shared by instance and static probes."""
+        p = os.path.join(part_dir, "LATEST")
         if not os.path.exists(p):
             return None
         with open(p, "rb") as f:
             return int(f.read())
+
+    def latest_epoch(self) -> int | None:
+        return self._read_latest(self.dir)
 
     def load(self, epoch: int) -> dict:
         with open(os.path.join(self.dir, f"e{epoch:06d}.ckpt"), "rb") as f:
@@ -74,11 +79,10 @@ class CheckpointStore:
         with no loadable epoch (replaying from epoch 0)."""
         latest = []
         for p in range(num_partitions):
-            lp = os.path.join(root, f"p{p:05d}", "LATEST")
-            if not os.path.exists(lp):
+            e = CheckpointStore._read_latest(os.path.join(root, f"p{p:05d}"))
+            if e is None:
                 return None
-            with open(lp, "rb") as f:
-                latest.append(int(f.read()))
+            latest.append(e)
         return min(latest)
 
     @staticmethod
