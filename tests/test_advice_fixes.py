@@ -230,3 +230,20 @@ def test_bigram_separator_tokens_filtered():
     pd.testing.assert_frame_equal(out_c[cols], out_d[cols])
     assert out_d["n_tokens"].tolist() == [4, 2]
     assert out_d["n_hits"].tolist() == [3, 1]   # a->b, b->a, a->b ; a->b
+
+
+def test_topk_quantized_equals_full_lexsort():
+    """argpartition + boundary-tie widening == full lexsort on random
+    and heavy-tie inputs (the ADC hot-path selection)."""
+    from parallel_dataflow_ray.stages.similarity import _topk_quantized
+
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        n = int(rng.integers(1, 200))
+        k = int(rng.integers(1, 2 * n))
+        # heavy ties: values drawn from a tiny alphabet
+        cm = rng.integers(-3, 4, n).astype(np.int64)
+        ids = rng.permutation(n).astype(np.int64)
+        got = _topk_quantized(cm, ids, k)
+        want = np.lexsort((ids, -cm))[:k]
+        assert np.array_equal(got, want), (trial, n, k)
