@@ -459,3 +459,60 @@ def test_dedup_lines_incremental_corpus_mode():
     assert out["text_dedup"].tolist() == ["fresh a\nfresh b", "other"]
     assert out["n_lines"].tolist() == [3, 2]
     assert out["n_removed_lines"].tolist() == [1, 1]
+
+
+def test_dedup_lines_hypothesis_brute_force():
+    """Property test: dedup_lines == a driver-local brute force on
+    random corpora (random line alphabet, random doc/line counts,
+    plain and corpus modes)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    from parallel_dataflow_ray.stages.dedup import dedup_lines
+
+    line_st = st.sampled_from(["aa", "bb", "cc", "dd", ""])
+    doc_st = st.lists(line_st, min_size=1, max_size=5)
+
+    def brute(shard, corpus_texts):
+        seen = set()
+        for t in corpus_texts:
+            seen.update((t or "").split("\n"))
+        out = []
+        for did, t in shard:                     # ids ascending
+            lines = (t or "").split("\n")
+            kept, removed = [], 0
+            for ln in lines:
+                if ln in seen:
+                    removed += 1
+                else:
+                    seen.add(ln)
+                    kept.append(ln)
+            out.append((did, "\n".join(kept), len(lines), removed))
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc_st, min_size=1, max_size=6),
+           st.lists(doc_st, min_size=0, max_size=3))
+    def check(shard_docs, corpus_docs):
+        shard = [(i, "\n".join(d)) for i, d in enumerate(shard_docs)]
+        corpus_texts = ["\n".join(d) for d in corpus_docs]
+        sd = pd.DataFrame(shard, columns=["doc_id", "text"])
+        sd["doc_id"] = sd["doc_id"].astype(np.int64)
+        kw = dict(num_buckets=4)
+        if corpus_texts:
+            cd = pd.DataFrame({
+                "doc_id": np.arange(100, 100 + len(corpus_texts),
+                                    dtype=np.int64),
+                "text": corpus_texts})
+            got = dedup_lines(rd.from_pandas(sd).repartition(2),
+                              corpus=rd.from_pandas(cd).repartition(2),
+                              **kw)
+        else:
+            got = dedup_lines(rd.from_pandas(sd).repartition(2), **kw)
+        got = got.to_pandas().sort_values("doc_id", ignore_index=True)
+        want = brute(shard, corpus_texts)
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    check()
